@@ -1,0 +1,40 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of standing in for a real cluster with a
+LocalCluster on one machine (reference gtsfm/runner/gtsfm_runner_base.py:288-296);
+here the stand-in is XLA host-platform virtual devices so multi-chip sharding
+code paths execute under `pytest` without TPU hardware.
+
+Must set env vars BEFORE jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# Persistent compile cache: first-use per-op dispatch on this JAX build costs
+# ~0.5 s/op; the on-disk cache makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+REFERENCE_DATA = "/root/reference/tests/data"
+
+
+def reference_data_available() -> bool:
+    return os.path.isdir(REFERENCE_DATA)

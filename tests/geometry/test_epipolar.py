@@ -1,0 +1,105 @@
+"""Epipolar geometry tests: synthetic two-view scenes with exact GT
+(same strategy as reference tests/frontend/verifier/test_verifier_base.py —
+random essential matrices, no mocks)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.geometry import epipolar, lie
+
+
+def make_two_view_scene(rng, n_pts=50, noise=0.0):
+    """Synthetic calibrated two-view scene. Returns normalized coords + GT pose."""
+    w = rng.uniform(-0.3, 0.3, size=3).astype(np.float32)
+    i2Ri1 = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    i2ti1 = rng.normal(size=3).astype(np.float32)
+    i2ti1 /= np.linalg.norm(i2ti1)
+    # Points in front of both cameras (frame i1, depth 4..8).
+    X1 = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n_pts),
+            rng.uniform(-1.5, 1.5, n_pts),
+            rng.uniform(4.0, 8.0, n_pts),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    X2 = X1 @ i2Ri1.T + i2ti1
+    x1 = X1[:, :2] / X1[:, 2:3] + noise * rng.normal(size=(n_pts, 2)).astype(np.float32)
+    x2 = X2[:, :2] / X2[:, 2:3] + noise * rng.normal(size=(n_pts, 2)).astype(np.float32)
+    return jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(i2Ri1), jnp.asarray(i2ti1)
+
+
+def test_essential_constraint_holds(rng):
+    x1, x2, R, t = make_two_view_scene(rng)
+    E = epipolar.essential_from_pose(R, t)
+    d = epipolar.sampson_distance_sq(E, x1, x2)
+    assert float(jnp.max(d)) < 1e-8
+
+
+def test_eight_point_recovers_essential(rng):
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=60)
+    E = epipolar.essential_from_eight_point(x1, x2)
+    d = epipolar.sampson_distance_sq(E, x1, x2)
+    assert float(jnp.max(d)) < 1e-6
+
+
+def test_eight_point_masked(rng):
+    """Outlier rows with zero weight must not affect the solution."""
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=40)
+    x1_bad = jnp.concatenate([x1, jnp.asarray(rng.normal(size=(10, 2)), jnp.float32)])
+    x2_bad = jnp.concatenate([x2, jnp.asarray(rng.normal(size=(10, 2)), jnp.float32)])
+    w = jnp.concatenate([jnp.ones(40), jnp.zeros(10)])
+    E = epipolar.essential_from_eight_point(x1_bad, x2_bad, w)
+    d = epipolar.sampson_distance_sq(E, x1, x2)
+    assert float(jnp.max(d)) < 1e-6
+
+
+def test_recover_pose(rng):
+    for _ in range(5):
+        x1, x2, R_gt, t_gt = make_two_view_scene(rng)
+        E = epipolar.essential_from_pose(R_gt, t_gt)
+        R, t, n = epipolar.recover_pose_from_essential(E, x1, x2)
+        assert float(lie.rotation_angular_distance(R, R_gt)) < 5e-3
+        # direction up to sign is resolved by cheirality: must match exactly.
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=5e-3)
+        assert int(n) == 50
+
+
+def test_full_pipeline_eight_point_pose(rng):
+    """8-point + recoverPose end-to-end on noisy data."""
+    x1, x2, R_gt, t_gt = make_two_view_scene(rng, n_pts=200, noise=5e-4)
+    E = epipolar.essential_from_eight_point(x1, x2)
+    R, t, n = epipolar.recover_pose_from_essential(E, x1, x2)
+    assert float(jnp.degrees(lie.rotation_angular_distance(R, R_gt))) < 0.5
+    ang = np.degrees(np.arccos(np.clip(float(jnp.dot(t, t_gt)), -1, 1)))
+    assert ang < 1.0
+    assert int(n) >= 195
+
+
+def test_fundamental_essential_conversions(rng):
+    x1, x2, R, t = make_two_view_scene(rng)
+    K = jnp.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    uv1 = x1 * 500.0 + jnp.asarray([320.0, 240.0])
+    uv2 = x2 * 500.0 + jnp.asarray([320.0, 240.0])
+    E = epipolar.essential_from_pose(R, t)
+    F = epipolar.fundamental_from_essential(E, K, K)
+    d = epipolar.sampson_distance_sq(F, uv1, uv2)
+    assert float(jnp.max(d)) < 1e-3  # pixels^2
+    E2 = epipolar.essential_from_fundamental(F, K, K)
+    E2 = E2 / jnp.linalg.norm(E2) * jnp.linalg.norm(E)
+    # E recovered up to scale/sign
+    err = min(
+        float(jnp.linalg.norm(E - E2)), float(jnp.linalg.norm(E + E2))
+    )
+    assert err < 1e-3
+
+
+def test_batched_eight_point(rng):
+    """Leading batch dims must work (pairs dimension)."""
+    scenes = [make_two_view_scene(rng, n_pts=30) for _ in range(4)]
+    x1 = jnp.stack([s[0] for s in scenes])
+    x2 = jnp.stack([s[1] for s in scenes])
+    E = epipolar.essential_from_eight_point(x1, x2)
+    assert E.shape == (4, 3, 3)
+    d = epipolar.sampson_distance_sq(E, x1, x2)
+    assert float(jnp.max(d)) < 1e-6
