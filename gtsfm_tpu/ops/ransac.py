@@ -105,20 +105,35 @@ def verify_essential_batched(
     best = jnp.argmax(counts, axis=-1)  # (P,)
 
     w_best = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0].astype(x1.dtype)
+    E_best = jnp.take_along_axis(E_h, best[:, None, None, None], axis=1)[:, 0]
+    c_best = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0].astype(x1.dtype)
 
-    # Local optimization: refit on the full inlier set, re-score, repeat.
-    def lo_step(w, _):
-        E = epipolar.essential_from_eight_point(x1, x2, w)
+    # Local optimization: refit on the current inlier set, keep whichever model
+    # scores best overall (the best hypothesis E is a candidate throughout).
+    def lo_step(carry, _):
+        E_b, w_b, c_b, w_cur = carry
+        E = epipolar.essential_from_eight_point(x1, x2, w_cur)
         d = epipolar.sampson_distance_sq(E, x1, x2)
         w_new = ((d < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
-        # Keep refit only if it does not lose inliers (LO acceptance rule).
-        better = jnp.sum(w_new, axis=-1) >= jnp.sum(w, axis=-1)
-        return jnp.where(better[:, None], w_new, w), None
+        c_new = jnp.sum(w_new, axis=-1)
+        better = c_new > c_b
+        E_b = jnp.where(better[:, None, None], E, E_b)
+        w_b = jnp.where(better[:, None], w_new, w_b)
+        c_b = jnp.where(better, c_new, c_b)
+        return (E_b, w_b, c_b, w_new), None
 
-    w_final, _ = jax.lax.scan(lo_step, w_best, None, length=lo_iterations)
-    E_final = epipolar.essential_from_eight_point(x1, x2, w_final)
-    d_final = epipolar.sampson_distance_sq(E_final, x1, x2)
-    inlier_mask = ((d_final < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
+    (E_sel, w_sel, c_sel, _), _ = jax.lax.scan(
+        lo_step, (E_best, w_best, c_best, w_best), None, length=lo_iterations
+    )
+
+    # Final polish: refit on the selected consensus set (all inliers beat any
+    # minimal sample for accuracy). Accept unless it loses >2% of support.
+    E_pol = epipolar.essential_from_eight_point(x1, x2, w_sel)
+    d_pol = epipolar.sampson_distance_sq(E_pol, x1, x2)
+    w_pol = ((d_pol < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
+    ok_pol = jnp.sum(w_pol, axis=-1) >= 0.98 * c_sel
+    E_final = jnp.where(ok_pol[:, None, None], E_pol, E_sel)
+    inlier_mask = jnp.where(ok_pol[:, None], w_pol, w_sel)
 
     R, U, _ = epipolar.recover_pose_from_essential(E_final, x1, x2, inlier_mask)
 
