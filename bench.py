@@ -1,0 +1,109 @@
+"""Benchmark: LM bundle-adjustment iterations/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The problem is a representative mid-scale BA instance (128 cameras, 16k
+tracks, 128k measurements — south-building-128-class, the largest config in
+the reference's CI benchmark matrix, .github/workflows/benchmark.yml). The
+reference publishes no absolute numbers (BASELINE.md), so ``vs_baseline``
+normalizes against 1.0 LM iteration/s — a generous estimate of GTSAM's
+sparse-Schur LM on a CPU node for this problem size (the reference's only
+execution mode; its CI runs on CPU-only GitHub runners).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 1.0  # estimated GTSAM CPU LM on 128-cam/128k-meas BA
+
+
+def build_problem(n_cams=128, n_tracks=16384, obs_per_track=8, seed=0):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.common import scene as scene_mod
+    from gtsfm_tpu.geometry import cameras
+
+    rng = np.random.default_rng(seed)
+    cal = np.tile(np.asarray([500.0, -0.05, 0.01, 320.0, 240.0], np.float32), (n_cams, 1))
+    angles = np.linspace(-1.2, 1.2, n_cams)
+    wRi, wti = [], []
+    for a in angles:
+        c = np.asarray([12 * np.sin(a), 0.0, -12 * np.cos(a)], np.float32)
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        wRi.append(np.stack([x, y, z], -1).astype(np.float32))
+        wti.append(c)
+    wRi = np.stack(wRi)
+    wti = np.stack(wti)
+    X = rng.uniform(-3, 3, size=(n_tracks, 3)).astype(np.float32)
+
+    # Each track observed by `obs_per_track` consecutive cameras.
+    M = n_tracks * obs_per_track
+    meas_cam = np.zeros(M, np.int32)
+    meas_track = np.zeros(M, np.int32)
+    start = rng.integers(0, n_cams - obs_per_track, size=n_tracks)
+    k = 0
+    for j in range(n_tracks):
+        for o in range(obs_per_track):
+            meas_cam[k] = start[j] + o
+            meas_track[k] = j
+            k += 1
+
+    uv, _ = cameras.project_bundler(
+        jnp.asarray(wRi)[meas_cam], jnp.asarray(wti)[meas_cam],
+        jnp.asarray(cal)[meas_cam], jnp.asarray(X)[meas_track],
+    )
+    uv = np.asarray(uv) + 0.5 * rng.normal(size=uv.shape).astype(np.float32)
+
+    sc = scene_mod.SceneData(
+        wRi=jnp.asarray(wRi), wti=jnp.asarray(wti), cal=jnp.asarray(cal),
+        camera_mask=jnp.ones(n_cams),
+        points=jnp.asarray(X + 0.05 * rng.normal(size=X.shape).astype(np.float32)),
+        track_mask=jnp.ones(n_tracks),
+        meas_cam=jnp.asarray(meas_cam), meas_track=jnp.asarray(meas_track),
+        meas_uv=jnp.asarray(uv), meas_mask=jnp.ones(M),
+    )
+    return sc
+
+
+def main() -> None:
+    import jax
+
+    from gtsfm_tpu.bundle import ba
+
+    scene = build_problem()
+    cfg = ba.BAConfig(max_iterations=30, pcg_iterations=20)
+
+    # Warmup (compile).
+    r = ba.lm_optimize(scene, cfg)
+    r.final_cost.block_until_ready()
+
+    t0 = time.time()
+    r = ba.lm_optimize(scene, cfg)
+    r.final_cost.block_until_ready()
+    dt = time.time() - t0
+    iters = max(int(r.iterations), 1)
+    iters_per_sec = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iters_per_sec_128cam_131k_meas",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/s/chip",
+                "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,294 @@
+"""Levenberg-Marquardt bundle adjustment — the framework centerpiece.
+
+TPU-native replacement for the reference's GTSAM factor-graph BA
+(gtsfm/bundle/bundle_adjustment.py:58-290: GeneralSFMFactor2Cal3Bundler
+reprojection factors + LevenbergMarquardtOptimizer). Instead of a
+heterogeneous C++ factor graph, the problem lives in flat measurement arrays
+(SceneData's BA view) and every LM iteration is one fused XLA program:
+
+  residual+Jacobian build   per-measurement (2x9 camera, 2x3 point blocks)
+                            via vmapped forward-mode autodiff — batched,
+                            MXU-tiled by XLA;
+  robust loss               Huber k=1.345 on the 2D error norm (IRLS
+                            weights), matching the reference's measurement
+                            noise (sigma = 1 px + Huber);
+  normal equations          segment-sums into block-diagonal Hcc (N,9,9) /
+                            Hpp (T,3,3) and per-measurement coupling blocks;
+  Schur complement          points eliminated with batched 3x3 inverses;
+  reduced camera solve      matrix-free PCG with block-Jacobi preconditioner
+                            (S is never materialized — its matvec is two
+                            segment-sum sweeps over measurements);
+  LM loop                   lax.while_loop with multiplicative damping,
+                            accept/reject on robust cost.
+
+Parameterization: camera delta = (omega[3] right-applied to R, dt[3],
+dcal[3] on (f, k1, k2); principal point fixed, exactly Cal3Bundler's DOF).
+Gauge: first live camera's pose is frozen (reference uses a sigma=0.1 prior,
+bundle_adjustment.py:156); overall scale floats — downstream comparisons are
+Sim(3)-aligned so this is harmless, and LM damping keeps the gauge direction
+tame.
+
+The whole optimizer is vmap-compatible: the batched two-view BA
+(gtsfm_tpu/twoview/estimator.py) is literally `vmap(lm_optimize)` over pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gtsfm_tpu.common.scene import SceneData
+from gtsfm_tpu.geometry import cameras as cam_mod
+from gtsfm_tpu.geometry import lie
+
+CAM_DIM = 9  # (omega, dt, df, dk1, dk2)
+PT_DIM = 3
+
+
+class BAConfig(NamedTuple):
+    max_iterations: int = 20
+    huber_k: float = 1.345  # px (reference: Huber(1.345), sigma 1px)
+    robust: bool = True
+    optimize_calibration: bool = False
+    pcg_iterations: int = 30
+    pcg_tol: float = 1e-6
+    lambda_init: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    lambda_min: float = 1e-10
+    lambda_max: float = 1e6
+
+
+class BAResult(NamedTuple):
+    scene: SceneData
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _apply_camera_delta(wRi, wti, cal, dc):
+    R = wRi @ lie.so3_exp(dc[..., 0:3])
+    t = wti + dc[..., 3:6]
+    dcal = jnp.concatenate([dc[..., 6:9], jnp.zeros_like(dc[..., 0:2])], axis=-1)
+    return R, t, cal + dcal
+
+
+def _residual_one(dc, dp, wRi, wti, cal, X, uv):
+    """Residual for ONE measurement as a function of local deltas (at 0)."""
+    R, t, c = _apply_camera_delta(wRi, wti, cal, dc)
+    pred, _ = cam_mod.project_bundler(R, t, c, X + dp)
+    return pred - uv
+
+
+_jac_one = jax.jacfwd(_residual_one, argnums=(0, 1))
+
+
+def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
+    """Per-measurement residuals r (M,2), Jacobian blocks Jc (M,2,9),
+    Jp (M,2,3), with robust IRLS weights and masks folded in."""
+    wRi = scene.wRi[scene.meas_cam]
+    wti = scene.wti[scene.meas_cam]
+    cal = scene.cal[scene.meas_cam]
+    X = scene.points[scene.meas_track]
+    uv = scene.meas_uv
+
+    zc = jnp.zeros((scene.meas_cam.shape[0], CAM_DIM), scene.meas_uv.dtype)
+    zp = jnp.zeros((scene.meas_cam.shape[0], PT_DIM), scene.meas_uv.dtype)
+    r = jax.vmap(_residual_one)(zc, zp, wRi, wti, cal, X, uv)
+    Jc, Jp = jax.vmap(_jac_one)(zc, zp, wRi, wti, cal, X, uv)
+
+    # Robust Huber IRLS weight on the 2D error norm.
+    e = jnp.linalg.norm(r, axis=-1)
+    if cfg.robust:
+        w = jnp.minimum(1.0, cfg.huber_k / jnp.maximum(e, 1e-12))
+    else:
+        w = jnp.ones_like(e)
+    w = w * scene.meas_mask * scene.track_mask[scene.meas_track]
+    sw = jnp.sqrt(w)[:, None]
+    r = r * sw
+    Jc = Jc * sw[..., None]
+    Jp = Jp * sw[..., None]
+
+    # Frozen cameras and (optionally) frozen calibration: zero those columns.
+    col_mask = jnp.ones(CAM_DIM, r.dtype)
+    if not cfg.optimize_calibration:
+        col_mask = col_mask.at[6:9].set(0.0)
+    Jc = Jc * col_mask[None, None, :] * cam_free[scene.meas_cam][:, None, None]
+    return r, Jc, Jp
+
+
+def robust_cost(scene: SceneData, huber_k: float, robust: bool = True) -> jnp.ndarray:
+    """Total robust reprojection cost (matches the LM acceptance metric)."""
+    err, _ = scene.reprojection_errors()
+    m = scene.meas_mask * scene.track_mask[scene.meas_track]
+    if robust:
+        quad = 0.5 * err**2
+        lin = huber_k * (err - 0.5 * huber_k)
+        rho = jnp.where(err <= huber_k, quad, lin)
+    else:
+        rho = 0.5 * err**2
+    return jnp.sum(rho * m)
+
+
+def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
+    """One damped Gauss-Newton step via Schur + PCG.
+
+    Returns (dc (N,9), dp (T,3))."""
+    N = scene.num_cameras_padded
+    T = scene.num_tracks_padded
+    mc = scene.meas_cam
+    mt = scene.meas_track
+
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", Jc, Jc), mc, num_segments=N
+    )  # (N, 9, 9)
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", Jp, Jp), mt, num_segments=T
+    )  # (T, 3, 3)
+    bc = -jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), mc, num_segments=N)
+    bp = -jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), mt, num_segments=T)
+
+    # LM damping (multiplicative on diagonal + small absolute floor).
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(CAM_DIM)
+    Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
+
+    Hpp_inv = jnp.linalg.inv(Hpp_d)  # (T, 3, 3) batched
+
+    def Hpc_x(x):
+        """y_p = sum_m Jp^T Jc x[cam]  -> (T, 3)."""
+        v = jnp.einsum("mki,mi->mk", Jc, x[mc])  # (M, 2)
+        return jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, v), mt, num_segments=T)
+
+    def Hcp_y(y):
+        """out = sum_m Jc^T Jp y[track] -> (N, 9)."""
+        v = jnp.einsum("mki,mi->mk", Jp, y[mt])  # (M, 2)
+        return jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, v), mc, num_segments=N)
+
+    def S_matvec(x):
+        direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+        y = Hpc_x(x)
+        z = jnp.einsum("tij,tj->ti", Hpp_inv, y)
+        return direct - Hcp_y(z)
+
+    v_rhs = bc - Hcp_y(jnp.einsum("tij,tj->ti", Hpp_inv, bp))
+
+    # Block-Jacobi preconditioner from damped Hcc.
+    Minv = jnp.linalg.inv(Hcc_d)
+
+    def precond(x):
+        return jnp.einsum("nij,nj->ni", Minv, x)
+
+    # PCG on the reduced camera system.
+    x0 = jnp.zeros_like(v_rhs)
+    r0 = v_rhs - S_matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    denom0 = jnp.maximum(jnp.sum(v_rhs * v_rhs), 1e-20)
+
+    def pcg_body(carry):
+        x, rr, z, p, rz, it = carry
+        Sp = S_matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, rr, z, p, rz_new, it + 1
+
+    def pcg_cond(carry):
+        x, rr, z, p, rz, it = carry
+        return (it < cfg.pcg_iterations) & (jnp.sum(rr * rr) / denom0 > cfg.pcg_tol**2)
+
+    dc, *_ = jax.lax.while_loop(pcg_cond, pcg_body, (x0, r0, z0, p0, rz0, 0))
+
+    # Back-substitute points: dp = Hpp^-1 (bp - Hpc dc).
+    dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_x(dc))
+    return dc, dp
+
+
+def _update_scene(scene: SceneData, dc, dp) -> SceneData:
+    R, t, cal = _apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
+    return dataclasses.replace(
+        scene, wRi=R, wti=t, cal=cal, points=scene.points + dp
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lm_optimize(scene: SceneData, cfg: BAConfig = BAConfig(), cam_fixed: jnp.ndarray | None = None) -> BAResult:
+    """Run LM to convergence (fixed max iterations, early stop on damping).
+
+    cam_fixed: optional (N,) {0,1} — cameras to freeze. Defaults to freezing
+    the first live camera (gauge anchor).
+    """
+    N = scene.num_cameras_padded
+    if cam_fixed is None:
+        first_live = jnp.argmax(scene.camera_mask > 0)
+        cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+
+    cost0 = robust_cost(scene, cfg.huber_k, cfg.robust)
+
+    def body(carry):
+        scene, lam, cost, it, _ = carry
+        r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
+        dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)
+        cand = _update_scene(scene, dc, dp)
+        new_cost = robust_cost(cand, cfg.huber_k, cfg.robust)
+        accept = new_cost < cost
+        scene = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), cand, scene
+        )
+        cost_next = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(
+            jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+            cfg.lambda_min, cfg.lambda_max,
+        )
+        rel_decrease = (cost - cost_next) / jnp.maximum(cost, 1e-12)
+        converged = accept & (rel_decrease < 1e-6)
+        return scene, lam, cost_next, it + 1, converged
+
+    def cond(carry):
+        _, lam, _, it, converged = carry
+        return (it < cfg.max_iterations) & (~converged) & (lam < cfg.lambda_max)
+
+    scene_f, lam_f, cost_f, iters, _ = jax.lax.while_loop(
+        cond, body,
+        (scene, jnp.asarray(cfg.lambda_init, cost0.dtype), cost0,
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+    )
+    return BAResult(scene=scene_f, initial_cost=cost0, final_cost=cost_f, iterations=iters)
+
+
+def run_ba_with_filtering(
+    scene: SceneData,
+    reproj_thresholds_px: tuple[float, ...] = (10.0, 5.0, 3.0),
+    cfg: BAConfig = BAConfig(),
+) -> tuple[SceneData, list[dict]]:
+    """Multi-stage BA: optimize, filter landmarks by threshold, repeat.
+
+    Mirrors reference bundle_adjustment.py:292-357 (run_ba_stage_with_filtering
+    with e.g. output_reproj_error_thresholds [10, 5, 3] px). Host-level loop
+    (stage count is tiny and static).
+    """
+    stats = []
+    for thresh in reproj_thresholds_px:
+        result = lm_optimize(scene, cfg)
+        scene = result.scene.filter_landmarks(thresh)
+        stats.append(
+            dict(
+                threshold=float(thresh),
+                initial_cost=float(result.initial_cost),
+                final_cost=float(result.final_cost),
+                iterations=int(result.iterations),
+                tracks=scene.num_tracks(),
+                measurements=scene.num_measurements(),
+            )
+        )
+    return scene, stats

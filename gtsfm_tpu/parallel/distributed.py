@@ -1,0 +1,185 @@
+"""Distributed SPMD stages over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's Dask distribution (SURVEY.md
+section 2.1 "Distributed backend"): instead of client.scatter/submit/gather
+over TCP, work is laid out on a device mesh and XLA collectives move data
+over ICI:
+
+  * front-end (per-pair fan-out, reference two_view_estimator.py:569-584):
+    the pairs axis is sharded across devices — embarrassingly parallel,
+    zero collectives except the final gather.
+  * bundle adjustment (reference's single-node GTSAM LM,
+    bundle_adjustment.py:269): measurements are sharded across devices;
+    each device builds Jacobian blocks for its shard and the Schur-complement
+    normal-equation blocks are reduced with psum — the "distributed Schur
+    reduction over ICI" design from BASELINE.md. Cameras/points are
+    replicated (their state is tiny relative to measurements).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gtsfm_tpu.bundle import ba
+from gtsfm_tpu.common.scene import SceneData
+from gtsfm_tpu.ops import ransac
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def pair_sharded_verify(
+    mesh: Mesh,
+    key: jax.Array,
+    x1: jnp.ndarray,  # (P, N, 2) normalized coords — P divisible by mesh size
+    x2: jnp.ndarray,
+    mask: jnp.ndarray,
+    threshold: jnp.ndarray,
+    num_hypotheses: int = 256,
+):
+    """Two-view RANSAC with the pairs axis sharded across the mesh."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    P_total = x1.shape[0]
+    assert P_total % n_dev == 0, "pad pairs to a multiple of mesh size"
+
+    keys = jax.random.split(key, n_dev)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(keys_l, x1_l, x2_l, mask_l, thr_l):
+        return ransac.verify_essential_batched(
+            keys_l[0], x1_l, x2_l, mask_l, thr_l, num_hypotheses=num_hypotheses
+        )
+
+    thr = jnp.broadcast_to(jnp.asarray(threshold, x1.dtype), (P_total,))
+    return run(keys, x1, x2, mask, thr)
+
+
+def distributed_ba_gn_step(
+    mesh: Mesh, scene: SceneData, lam: float = 1e-4, cfg: ba.BAConfig = ba.BAConfig()
+) -> SceneData:
+    """One damped Gauss-Newton BA step with measurement-sharded Jacobians.
+
+    Each device: local residual/Jacobian blocks -> local segment-sums ->
+    psum over the mesh (the distributed Schur reduction) -> replicated PCG
+    solve -> replicated state update. Returns the updated scene.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    M = scene.num_measurements_padded
+    assert M % n_dev == 0, "pad measurements to a multiple of mesh size"
+
+    N = scene.num_cameras_padded
+
+    first_live = jnp.argmax(scene.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+
+    meas_spec = SceneData(
+        wRi=P(), wti=P(), cal=P(), camera_mask=P(),
+        points=P(), track_mask=P(),
+        meas_cam=P(axis), meas_track=P(axis), meas_uv=P(axis), meas_mask=P(axis),
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(meas_spec, P()),
+        out_specs=(P(), P()),
+    )
+    def step(scene_shard: SceneData, lam_arr):
+        # Local Jacobian blocks on this device's measurement shard.
+        r, Jc, Jp = ba._build_blocks(scene_shard, cfg, cam_free)
+        mc = scene_shard.meas_cam
+        mt = scene_shard.meas_track
+        T = scene_shard.num_tracks_padded
+
+        Hcc = jax.lax.psum(
+            jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", Jc, Jc), mc, num_segments=N),
+            axis,
+        )
+        Hpp = jax.lax.psum(
+            jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", Jp, Jp), mt, num_segments=T),
+            axis,
+        )
+        bc = -jax.lax.psum(
+            jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), mc, num_segments=N),
+            axis,
+        )
+        bp = -jax.lax.psum(
+            jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), mt, num_segments=T),
+            axis,
+        )
+
+        lam_v = lam_arr[0]
+        Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.CAM_DIM)
+        Hpp_d = Hpp + (lam_v * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.PT_DIM)
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        # Coupling matvecs need ALL measurements' Jc/Jp — computed locally on
+        # the shard then psum'd (each device holds only its blocks).
+        def Hpc_x(x):
+            v = jnp.einsum("mki,mi->mk", Jc, x[mc])
+            return jax.lax.psum(
+                jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, v), mt, num_segments=T),
+                axis,
+            )
+
+        def Hcp_y(y):
+            v = jnp.einsum("mki,mi->mk", Jp, y[mt])
+            return jax.lax.psum(
+                jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, v), mc, num_segments=N),
+                axis,
+            )
+
+        def S_matvec(x):
+            direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+            z = jnp.einsum("tij,tj->ti", Hpp_inv, Hpc_x(x))
+            return direct - Hcp_y(z)
+
+        v_rhs = bc - Hcp_y(jnp.einsum("tij,tj->ti", Hpp_inv, bp))
+        Minv = jnp.linalg.inv(Hcc_d)
+
+        def pc(x):
+            return jnp.einsum("nij,nj->ni", Minv, x)
+
+        x = jnp.zeros_like(v_rhs)
+        rr = v_rhs - S_matvec(x)
+        z = pc(rr)
+        p = z
+        rz = jnp.sum(rr * z)
+
+        def cg_body(c, _):
+            x, rr, z, p, rz = c
+            Sp = S_matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Sp
+            z = pc(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            return (x, rr, z, z + beta * p, rz_new), None
+
+        (dc, *_), _ = jax.lax.scan(cg_body, (x, rr, z, p, rz), None, length=cfg.pcg_iterations)
+        dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_x(dc))
+        return dc, dp
+
+    dc, dp = step(scene, jnp.asarray([lam], scene.meas_uv.dtype))
+    R, t, cal = ba._apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
+    import dataclasses
+
+    return dataclasses.replace(scene, wRi=R, wti=t, cal=cal, points=scene.points + dp)

@@ -1,0 +1,83 @@
+"""Pipeline configuration — plain dataclasses + CLI overrides.
+
+Replaces the reference's two-tier Hydra-YAML + argparse config system
+(gtsfm/configs/*.yaml composed at runner/gtsfm_runner_base.py:164-200).
+Defaults follow configs/sift_front_end.yaml / deep_front_end.yaml thresholds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass
+class FrontendConfig:
+    feature_type: str = "sift"  # sift | superpoint
+    max_keypoints: int = 4096
+    ratio_test: float = 0.8
+    matcher_type: str = "mutual_nn"  # mutual_nn | superglue | lightglue
+
+
+@dataclasses.dataclass
+class TwoViewConfig:
+    estimation_threshold_px: float = 4.0  # reference deep_front_end.yaml:48
+    num_hypotheses: int = 512
+    min_inliers: int = 15  # InlierSupportProcessor (reference :19)
+    min_inlier_ratio: float = 0.1
+
+
+@dataclasses.dataclass
+class MultiViewConfig:
+    cycle_error_threshold_deg: float = 7.0  # reference cycle_consistent:26
+    num_mfas_projections: int = 512
+    min_track_len: int = 3
+    triangulation_reproj_thresh_px: float = 10.0  # reference deep_front_end.yaml:84
+    ba_reproj_thresholds_px: tuple = (10.0, 5.0, 3.0)  # reference :91
+    ba_max_iterations: int = 20
+    optimize_calibration: bool = False
+
+
+@dataclasses.dataclass
+class RetrieverConfig:
+    regime: str = "exhaustive"  # exhaustive | sequential | retrieval
+    max_frame_lookahead: int = 10
+    num_matched: int = 5
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    two_view: TwoViewConfig = dataclasses.field(default_factory=TwoViewConfig)
+    multi_view: MultiViewConfig = dataclasses.field(default_factory=MultiViewConfig)
+    retriever: RetrieverConfig = dataclasses.field(default_factory=RetrieverConfig)
+    max_resolution: int = 760
+    output_root: str = "results"
+    cache_dir: str = "cache"
+    enable_cache: bool = True
+    seed: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def apply_overrides(self, overrides: list[str]) -> "PipelineConfig":
+        """'a.b=c' dotted-path overrides (the reference's hydra override idiom)."""
+        for ov in overrides:
+            path, _, raw = ov.partition("=")
+            keys = path.split(".")
+            obj = self
+            for k in keys[:-1]:
+                obj = getattr(obj, k)
+            cur = getattr(obj, keys[-1])
+            if isinstance(cur, bool):
+                val = raw.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                val = int(raw)
+            elif isinstance(cur, float):
+                val = float(raw)
+            elif isinstance(cur, tuple):
+                val = tuple(float(x) for x in raw.strip("()[]").split(","))
+            else:
+                val = raw
+            setattr(obj, keys[-1], val)
+        return self

@@ -1,0 +1,305 @@
+"""SceneOptimizer — end-to-end reconstruction orchestration.
+
+TPU-native equivalent of the reference's SceneOptimizer + MultiViewOptimizer
+(gtsfm/scene_optimizer.py:59, gtsfm/multi_view_optimizer.py:29) and the
+4-phase runner loop (runner/gtsfm_runner_base.py:275-413). Where the reference
+builds a Dask task graph (futures for the front-end, delayed graph for the
+back-end), every stage here is a batched jitted program over fixed-shape
+arrays; the only host work is ragged bookkeeping (tracks, exports).
+
+Stages (same contract as the reference, SURVEY.md section 7 "design stance"):
+  1. retrieval -> pair list
+  2. features (SIFT / SuperPoint)        [cached by content hash]
+  3. batched matching + batched RANSAC two-view estimation
+  4. cycle-consistency view-graph filter
+  5. rotation averaging (certifiable staircase)
+  6. 1dSFM translation averaging (batched MFAS + robust recovery)
+  7. DSF tracks -> batched DLT triangulation
+  8. multi-stage global BA with landmark filtering
+  9. COLMAP export + metrics JSON
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.bundle import ba
+from gtsfm_tpu.common import scene as scene_mod
+from gtsfm_tpu.common.image import to_grayscale
+from gtsfm_tpu.evaluation.metrics import MetricsGroup, save_metrics_reports
+from gtsfm_tpu.frontend import sift
+from gtsfm_tpu.frontend.cacher import FeatureCache
+from gtsfm_tpu.geometry import alignment, cameras, triangulation
+from gtsfm_tpu.io import colmap_io
+from gtsfm_tpu.loader.base import LoaderBase
+from gtsfm_tpu.multiview import (
+    rotation_averaging as ra,
+    tracks as tracks_mod,
+    translation_averaging as ta,
+    viewgraph,
+)
+from gtsfm_tpu.ops import matching, ransac
+from gtsfm_tpu.pipeline.config import PipelineConfig
+from gtsfm_tpu.retriever import exhaustive_pairs, sequential_pairs
+
+logger = logging.getLogger("gtsfm_tpu")
+
+
+@dataclasses.dataclass
+class ReconstructionResult:
+    scene: scene_mod.SceneData
+    metrics: list[MetricsGroup]
+    wRi_pre_ba: np.ndarray | None = None
+    wti_pre_ba: np.ndarray | None = None
+
+
+class SceneOptimizer:
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+
+    # ------------------------------------------------------------ stages
+
+    def generate_pairs(self, loader: LoaderBase) -> list[tuple[int, int]]:
+        cfg = self.config.retriever
+        n = len(loader)
+        if cfg.regime == "exhaustive":
+            pairs = exhaustive_pairs(n)
+        else:
+            pairs = sequential_pairs(n, cfg.max_frame_lookahead)
+        return [p for p in pairs if loader.is_valid_pair(*p)]
+
+    def compute_features(self, loader: LoaderBase):
+        cfg = self.config.frontend
+        cache = FeatureCache(
+            os.path.join(self.config.cache_dir, "features"), self.config.enable_cache
+        )
+        feats, cals, sizes = [], [], []
+        tag = f"{cfg.feature_type}-{cfg.max_keypoints}-{self.config.max_resolution}"
+        for i in range(len(loader)):
+            img, cal = loader.get_image(i)
+            gray = to_grayscale(img.value_array)
+            key = cache.key(gray, tag)
+            hit = cache.load(key)
+            if hit is not None:
+                f = sift.SiftFeatures(
+                    uv=jnp.asarray(hit["uv"]), scale=jnp.asarray(hit["scale"]),
+                    response=jnp.asarray(hit["response"]),
+                    descriptor=jnp.asarray(hit["descriptor"]), mask=jnp.asarray(hit["mask"]),
+                )
+            else:
+                f = sift.detect_and_describe(
+                    jnp.asarray(gray), max_keypoints=cfg.max_keypoints
+                )
+                cache.save(
+                    key,
+                    dict(
+                        uv=np.asarray(f.uv), scale=np.asarray(f.scale),
+                        response=np.asarray(f.response),
+                        descriptor=np.asarray(f.descriptor), mask=np.asarray(f.mask),
+                    ),
+                )
+            feats.append(f)
+            cals.append(cal)
+            sizes.append((img.width, img.height))
+        return feats, np.stack(cals), sizes
+
+    def run_two_view(self, feats, cals, pairs):
+        """Batched matching + batched RANSAC for all pairs at once."""
+        fe = self.config.frontend
+        tv = self.config.two_view
+        d1 = jnp.stack([feats[a].descriptor for a, b in pairs])
+        d2 = jnp.stack([feats[b].descriptor for a, b in pairs])
+        m1 = jnp.stack([feats[a].mask for a, b in pairs])
+        m2 = jnp.stack([feats[b].mask for a, b in pairs])
+        k1 = jnp.stack([feats[a].uv for a, b in pairs])
+        k2 = jnp.stack([feats[b].uv for a, b in pairs])
+        idx, mm = matching.mutual_nearest_matching(d1, d2, m1, m2, ratio_test=fe.ratio_test)
+        x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
+
+        K1 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[a])) for a, b in pairs])
+        K2 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[b])) for a, b in pairs])
+        x1n = cameras.normalize_keypoints(K1[:, None], x1)
+        x2n = cameras.normalize_keypoints(K2[:, None], x2)
+        f_mean = jnp.asarray([(cals[a][0] + cals[b][0]) / 2.0 for a, b in pairs])
+        res = ransac.verify_essential_batched(
+            jax.random.PRNGKey(self.config.seed), x1n, x2n, cm,
+            threshold=tv.estimation_threshold_px / f_mean,
+            num_hypotheses=tv.num_hypotheses,
+            min_inliers=tv.min_inliers,
+            min_inlier_ratio=tv.min_inlier_ratio,
+        )
+        return res, idx
+
+    def run(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
+        cfg = self.config
+        t0 = time.time()
+        metrics: list[MetricsGroup] = []
+        n = len(loader)
+
+        pairs = self.generate_pairs(loader)
+        g = MetricsGroup("retriever_metrics")
+        g.add("num_input_images", n)
+        g.add("num_retrieved_image_pairs", len(pairs))
+        metrics.append(g)
+        logger.info("pairs: %d", len(pairs))
+
+        feats, cals, sizes = self.compute_features(loader)
+        t_feat = time.time()
+        g = MetricsGroup("correspondence_metrics")
+        g.add("num_keypoints_per_image", np.asarray([float(f.mask.sum()) for f in feats]))
+        g.add("duration_sec", t_feat - t0)
+        metrics.append(g)
+
+        res, match_idx = self.run_two_view(feats, cals, pairs)
+        t_2view = time.time()
+        ok = np.asarray(res.success)
+        g = MetricsGroup("two_view_metrics")
+        g.add("num_verified_pairs", int(ok.sum()))
+        g.add("inlier_ratios", np.asarray(res.inlier_ratio))
+        g.add("num_inliers", np.asarray(res.num_inliers))
+        g.add("duration_sec", t_2view - t_feat)
+        metrics.append(g)
+        logger.info("two-view: %d/%d verified", int(ok.sum()), len(pairs))
+
+        edges = np.asarray([p for k, p in enumerate(pairs) if ok[k]], np.int64)
+        i2Ri1 = np.asarray(res.i2Ri1)[ok]
+        i2Ui1 = np.asarray(res.i2Ui1)[ok]
+
+        keep, vg_info = viewgraph.filter_cycle_consistent_edges(
+            edges, i2Ri1, cfg.multi_view.cycle_error_threshold_deg
+        )
+        g = MetricsGroup("view_graph_metrics")
+        g.add("num_input_edges", len(edges))
+        g.add("num_retained_edges", int(keep.sum()))
+        g.add("num_triplets", vg_info.get("num_triplets", 0))
+        metrics.append(g)
+        edges, i2Ri1, i2Ui1 = edges[keep], i2Ri1[keep], i2Ui1[keep]
+        if len(edges) == 0:
+            raise RuntimeError("view graph empty after cycle filtering")
+
+        wRi_est, ra_info = ra.run_rotation_averaging(n, edges, i2Ri1)
+        g = MetricsGroup("rotation_averaging_metrics")
+        for k, v in ra_info.items():
+            g.add(k, v)
+        g.add(
+            "relative_rotation_consistency_deg",
+            ra.relative_rotation_errors_deg(wRi_est, edges, i2Ri1),
+        )
+        metrics.append(g)
+
+        res_t = ta.run_translation_averaging(
+            n, edges, i2Ui1, wRi_est,
+            num_projections=cfg.multi_view.num_mfas_projections, seed=cfg.seed,
+        )
+        wti_est = res_t.wti.astype(np.float32)
+        g = MetricsGroup("translation_averaging_metrics")
+        g.add("num_inlier_edges", int(res_t.inlier_edges.sum()))
+        g.add("num_total_edges", len(edges))
+        metrics.append(g)
+
+        # Tracks from verified inlier matches (kept view-graph edges only).
+        match_dict = {}
+        pair_ok = [p for k, p in enumerate(pairs) if ok[k]]
+        inlier_masks = np.asarray(res.inlier_mask)[ok]
+        match_idx_ok = np.asarray(match_idx)[ok]
+        for kk, (a, b) in enumerate(pair_ok):
+            if not keep[kk]:
+                continue
+            inl = inlier_masks[kk] > 0
+            ia = np.nonzero(inl)[0]
+            ib = match_idx_ok[kk][ia]
+            match_dict[(a, b)] = np.stack([ia, ib], -1)
+        max_kpts = feats[0].uv.shape[0]
+        trks = tracks_mod.tracks_from_matches(
+            n, max_kpts, match_dict, min_track_len=cfg.multi_view.min_track_len
+        )
+        kp = np.stack([np.asarray(f.uv) for f in feats])
+        meas_tracks = tracks_mod.tracks_to_measurements(trks, kp)
+        g = MetricsGroup("data_association_metrics")
+        g.add("num_tracks", len(trks))
+        g.add("track_lengths", np.asarray([len(t) for t in trks], np.float64))
+        metrics.append(g)
+        if not trks:
+            raise RuntimeError("no tracks formed")
+
+        # Triangulate with averaged poses.
+        sc = scene_mod.make_scene(np.asarray(wRi_est), wti_est, cals, meas_tracks)
+        max_len = max(len(t) for t in trks)
+        cam_idx, uv_t, mask_t = scene_mod.tracks_to_padded(sc, max_track_len=max_len)
+        K_all = np.asarray(jax.vmap(cameras.K_from_bundler)(jnp.asarray(cals)))
+        P_mats = np.asarray(
+            jax.vmap(triangulation.projection_matrix)(
+                jnp.asarray(np.asarray(wRi_est)), jnp.asarray(wti_est), jnp.asarray(K_all)
+            )
+        )
+        X0 = triangulation.triangulate_tracks_dlt(
+            jnp.asarray(P_mats[cam_idx]), jnp.asarray(uv_t), jnp.asarray(mask_t)
+        )
+        sc = dataclasses.replace(sc, points=X0)
+        sc = sc.filter_landmarks(2.0 * cfg.multi_view.triangulation_reproj_thresh_px)
+        wRi_pre_ba, wti_pre_ba = np.asarray(sc.wRi), np.asarray(sc.wti)
+
+        # Global BA.
+        ba_cfg = ba.BAConfig(
+            max_iterations=cfg.multi_view.ba_max_iterations,
+            optimize_calibration=cfg.multi_view.optimize_calibration,
+        )
+        final, ba_stats = ba.run_ba_with_filtering(
+            sc, cfg.multi_view.ba_reproj_thresholds_px, ba_cfg
+        )
+        t_ba = time.time()
+        err, _ = final.reprojection_errors()
+        live = np.asarray(final.meas_mask) > 0
+        g = MetricsGroup("bundle_adjustment_metrics")
+        g.add("number_cameras", final.num_cameras())
+        g.add("number_tracks_filtered", final.num_tracks())
+        g.add("number_measurements", int(live.sum()))
+        g.add("reprojection_errors_px", np.asarray(err)[live])
+        for si, s in enumerate(ba_stats):
+            g.add(f"stage{si}_final_cost", s["final_cost"])
+            g.add(f"stage{si}_iterations", s["iterations"])
+        g.add("duration_sec", t_ba - t_2view)
+        metrics.append(g)
+
+        # GT comparison if the loader has poses.
+        wRi_gt, wti_gt, gt_valid = loader.get_all_poses()
+        if gt_valid.sum() >= 3:
+            (Rb, tb), _ = alignment.align_poses_sim3(
+                final.wRi, final.wti, jnp.asarray(wRi_gt), jnp.asarray(wti_gt),
+                valid=jnp.asarray(gt_valid),
+            )
+            rot_errs = np.asarray(
+                alignment.rotation_errors_deg(Rb, jnp.asarray(wRi_gt))
+            )
+            tr_errs = np.linalg.norm(np.asarray(tb) - wti_gt, axis=-1)
+            g = MetricsGroup("ba_pose_error_metrics")
+            g.add("rotation_angle_error_deg", rot_errs)
+            g.add("translation_error_distance", tr_errs)
+            metrics.append(g)
+            logger.info(
+                "vs GT: rot max %.3f deg, trans max %.4f", rot_errs.max(), tr_errs.max()
+            )
+
+        g = MetricsGroup("total_summary_metrics")
+        g.add("total_runtime_sec", time.time() - t0)
+        metrics.append(g)
+
+        if save_outputs:
+            out = cfg.output_root
+            os.makedirs(out, exist_ok=True)
+            colmap_io.export_scene_as_colmap_text(
+                final, os.path.join(out, "ba_output"),
+                file_names=loader.image_filenames(), image_sizes=sizes,
+            )
+            save_metrics_reports(metrics, os.path.join(out, "result_metrics"))
+
+        return ReconstructionResult(
+            scene=final, metrics=metrics, wRi_pre_ba=wRi_pre_ba, wti_pre_ba=wti_pre_ba
+        )

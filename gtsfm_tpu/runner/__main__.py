@@ -1,0 +1,81 @@
+"""Main CLI: python -m gtsfm_tpu.runner --dataset_root <dir> [--loader olsson]
+
+Replaces the reference's per-dataset runner scripts + GtsfmRunnerBase
+(gtsfm/runner/gtsfm_runner_base.py:41-457): same flags where they make sense
+(max_resolution, max_frame_lookahead, config overrides), no cluster flags —
+device topology comes from JAX (mesh), not SSH bootstrap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="gtsfm_tpu reconstruction runner")
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--loader", default="olsson", choices=["olsson", "colmap"])
+    p.add_argument("--images_dir", default=None, help="for colmap loader")
+    p.add_argument("--max_resolution", type=int, default=760)
+    p.add_argument("--max_frame_lookahead", type=int, default=10)
+    p.add_argument("--retriever", default="exhaustive", choices=["exhaustive", "sequential"])
+    p.add_argument("--output_root", default="results")
+    p.add_argument("--cache_dir", default="cache")
+    p.add_argument("--no_cache", action="store_true")
+    p.add_argument(
+        "--override", action="append", default=[],
+        help="config override a.b=c (repeatable)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    args = build_parser().parse_args(argv)
+
+    from gtsfm_tpu.pipeline.config import PipelineConfig
+    from gtsfm_tpu.pipeline.scene_optimizer import SceneOptimizer
+
+    cfg = PipelineConfig(
+        max_resolution=args.max_resolution,
+        output_root=args.output_root,
+        cache_dir=args.cache_dir,
+        enable_cache=not args.no_cache,
+    )
+    cfg.retriever.regime = args.retriever
+    cfg.retriever.max_frame_lookahead = args.max_frame_lookahead
+    cfg.apply_overrides(args.override)
+
+    if args.loader == "olsson":
+        from gtsfm_tpu.loader.olsson import OlssonLoader
+
+        loader = OlssonLoader(
+            args.dataset_root,
+            max_frame_lookahead=args.max_frame_lookahead,
+            max_resolution=args.max_resolution,
+        )
+    else:
+        from gtsfm_tpu.loader.colmap import ColmapLoader
+
+        loader = ColmapLoader(
+            args.dataset_root, images_dir=args.images_dir,
+            max_frame_lookahead=args.max_frame_lookahead,
+            max_resolution=args.max_resolution,
+        )
+
+    result = SceneOptimizer(cfg).run(loader)
+    err, _ = result.scene.reprojection_errors()
+    import numpy as np
+
+    live = np.asarray(result.scene.meas_mask) > 0
+    print(
+        f"DONE: {result.scene.num_cameras()} cameras, {result.scene.num_tracks()} tracks, "
+        f"mean reproj {float(np.asarray(err)[live].mean()):.3f}px -> {cfg.output_root}/"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

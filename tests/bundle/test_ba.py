@@ -1,0 +1,135 @@
+"""Bundle adjustment tests: synthetic scenes with exact GT, noise injected
+into cameras/points, LM must recover GT up to gauge (reference strategy:
+tests/bundle on real tiny problems, no mocks)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsfm_tpu.bundle import ba
+from gtsfm_tpu.common import scene as scene_mod
+from gtsfm_tpu.geometry import alignment, cameras, lie
+
+
+def make_ba_problem(rng, n_cams=6, n_tracks=60, pixel_noise=0.5):
+    """Cameras on an arc viewing a point cloud; full visibility."""
+    cal = np.tile(np.asarray([500.0, -0.05, 0.01, 320.0, 240.0], np.float32), (n_cams, 1))
+    angles = np.linspace(-0.5, 0.5, n_cams)
+    wRi, wti = [], []
+    for a in angles:
+        c = np.asarray([8 * np.sin(a), 0.5 * np.sin(2 * a), -8 * np.cos(a)], np.float32)
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0.0, 1.0, 0.0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        wRi.append(np.stack([x, y, z], -1).astype(np.float32))
+        wti.append(c)
+    wRi = np.stack(wRi); wti = np.stack(wti)
+    X = rng.uniform(-2, 2, size=(n_tracks, 3)).astype(np.float32)
+
+    uv, depth = cameras.project_bundler(
+        jnp.asarray(wRi)[:, None], jnp.asarray(wti)[:, None],
+        jnp.asarray(cal)[:, None], jnp.asarray(X)[None],
+    )
+    uv = np.asarray(uv) + pixel_noise * rng.normal(size=uv.shape).astype(np.float32)
+    assert np.all(np.asarray(depth) > 0)
+
+    tracks = [
+        [(i, uv[i, j]) for i in range(n_cams)] for j in range(n_tracks)
+    ]
+    sc = scene_mod.make_scene(wRi, wti, cal, tracks)
+    sc = dataclasses.replace(sc, points=sc.points.at[:n_tracks].set(jnp.asarray(X)))
+    return sc, (wRi, wti, X)
+
+
+def perturb(rng, sc, rot_deg=3.0, trans=0.1, pt=0.1, keep_first=True):
+    n = sc.num_cameras_padded
+    dw = rng.normal(size=(n, 3)).astype(np.float32)
+    dw = dw / np.linalg.norm(dw, axis=-1, keepdims=True) * np.deg2rad(rot_deg)
+    dt = rng.normal(size=(n, 3)).astype(np.float32) * trans
+    if keep_first:
+        dw[0] = 0; dt[0] = 0
+    R = jnp.asarray(np.stack([np.asarray(lie.so3_exp(jnp.asarray(w))) for w in dw])) @ sc.wRi
+    t = sc.wti + jnp.asarray(dt)
+    pts = sc.points + jnp.asarray(rng.normal(size=sc.points.shape).astype(np.float32) * pt)
+    return dataclasses.replace(sc, wRi=R, wti=t, points=pts)
+
+
+def test_ba_recovers_gt(rng):
+    sc_gt, (wRi, wti, X) = make_ba_problem(rng, pixel_noise=0.0)
+    sc0 = perturb(rng, sc_gt)
+    cost_before = float(ba.robust_cost(sc0, 1.345))
+    result = ba.lm_optimize(sc0, ba.BAConfig(max_iterations=30))
+    cost_after = float(result.final_cost)
+    assert cost_after < 1e-2 * cost_before
+    err, _ = result.scene.reprojection_errors()
+    live = np.asarray(result.scene.meas_mask) > 0
+    assert float(np.asarray(err)[live].mean()) < 0.05  # noiseless: ~0
+    # Poses match GT after Sim(3) alignment.
+    assert alignment.compare_global_poses(
+        result.scene.wRi, result.scene.wti, jnp.asarray(wRi), jnp.asarray(wti),
+        rot_err_thresh_deg=0.2, trans_err_atol=0.02, trans_err_rtol=0.02,
+    )
+
+
+def test_ba_noisy_converges(rng):
+    sc_gt, (wRi, wti, X) = make_ba_problem(rng, pixel_noise=0.5)
+    sc0 = perturb(rng, sc_gt, rot_deg=2.0, trans=0.08, pt=0.08)
+    result = ba.lm_optimize(sc0, ba.BAConfig(max_iterations=30))
+    err, _ = result.scene.reprojection_errors()
+    live = np.asarray(result.scene.meas_mask) > 0
+    mean_err = float(np.asarray(err)[live].mean())
+    assert mean_err < 0.8  # ~ noise level
+    assert alignment.compare_global_poses(
+        result.scene.wRi, result.scene.wti, jnp.asarray(wRi), jnp.asarray(wti),
+        rot_err_thresh_deg=1.0, trans_err_atol=0.1, trans_err_rtol=0.05,
+    )
+
+
+def test_ba_robust_to_outliers(rng):
+    """Huber loss: a few gross outlier measurements must not wreck the solve."""
+    sc_gt, (wRi, wti, X) = make_ba_problem(rng, pixel_noise=0.3)
+    uv = np.asarray(sc_gt.meas_uv).copy()
+    live = np.nonzero(np.asarray(sc_gt.meas_mask) > 0)[0]
+    bad = rng.choice(live, size=len(live) // 20, replace=False)
+    uv[bad] += rng.uniform(30, 80, size=(len(bad), 2)).astype(np.float32)
+    sc = dataclasses.replace(sc_gt, meas_uv=jnp.asarray(uv))
+    sc0 = perturb(rng, sc, rot_deg=1.5, trans=0.05, pt=0.05)
+    result = ba.lm_optimize(sc0, ba.BAConfig(max_iterations=30))
+    assert alignment.compare_global_poses(
+        result.scene.wRi, result.scene.wti, jnp.asarray(wRi), jnp.asarray(wti),
+        rot_err_thresh_deg=1.0, trans_err_atol=0.1, trans_err_rtol=0.1,
+    )
+
+
+def test_ba_with_filtering_stages(rng):
+    sc_gt, _ = make_ba_problem(rng, pixel_noise=0.3)
+    # inject outliers
+    uv = np.asarray(sc_gt.meas_uv).copy()
+    live = np.nonzero(np.asarray(sc_gt.meas_mask) > 0)[0]
+    bad = rng.choice(live, size=len(live) // 10, replace=False)
+    uv[bad] += 50.0
+    sc = dataclasses.replace(sc_gt, meas_uv=jnp.asarray(uv))
+    sc0 = perturb(rng, sc, rot_deg=1.0, trans=0.05, pt=0.05)
+    final, stats = ba.run_ba_with_filtering(sc0, (10.0, 5.0, 3.0))
+    assert len(stats) == 3
+    # Outlier measurements got filtered.
+    assert final.num_measurements() <= sc0.num_measurements() - len(bad) // 2
+    err, _ = final.reprojection_errors()
+    live_f = np.asarray(final.meas_mask) > 0
+    assert float(np.asarray(err)[live_f].mean()) < 1.0
+
+
+def test_ba_masked_padding_inert(rng):
+    """Garbage in padded measurement slots must not affect the optimum."""
+    sc_gt, _ = make_ba_problem(rng, n_cams=4, n_tracks=30, pixel_noise=0.2)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.03, pt=0.03)
+    r1 = ba.lm_optimize(sc0, ba.BAConfig(max_iterations=10))
+    uv_garbage = sc0.meas_uv.at[sc0.num_measurements():].set(12345.0)
+    sc0g = dataclasses.replace(sc0, meas_uv=uv_garbage)
+    r2 = ba.lm_optimize(sc0g, ba.BAConfig(max_iterations=10))
+    np.testing.assert_allclose(
+        np.asarray(r1.scene.wti), np.asarray(r2.scene.wti), atol=1e-5
+    )

@@ -19,8 +19,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-# Persistent compile cache: first-use per-op dispatch on this JAX build costs
-# ~0.5 s/op; the on-disk cache makes repeat test runs fast.
+# The environment's sitecustomize imports jax at interpreter startup (axon TPU
+# tunnel), so env vars alone are TOO LATE — force the platform via config.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: makes repeat test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -28,8 +31,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran (order-independence).
     return np.random.default_rng(0)
 
 

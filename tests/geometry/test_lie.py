@@ -14,7 +14,12 @@ def random_rotations(rng, n):
 
 
 def test_exp_log_roundtrip(rng):
-    w = jnp.asarray(rng.uniform(-2.0, 2.0, size=(64, 3)), jnp.float32)
+    # |w| must stay below pi: log returns the principal axis-angle, so larger
+    # inputs legitimately round-trip to their wrapped equivalent.
+    axis = rng.normal(size=(64, 3))
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    mag = rng.uniform(0.0, 3.1, size=(64, 1))
+    w = jnp.asarray(axis * mag, jnp.float32)
     R = lie.so3_exp(w)
     w2 = lie.so3_log(R)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=2e-5)

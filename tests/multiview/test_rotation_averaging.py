@@ -1,0 +1,65 @@
+"""Rotation averaging tests: < 2 deg vs synthetic GT (reference
+tests/averaging/rotation/test_shonan.py:19 accuracy contract)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.geometry import lie
+from gtsfm_tpu.multiview import rotation_averaging as ra
+from tests.multiview.sample_poses import (
+    all_pairs_edges, circle_poses, line_poses, relative_measurements,
+)
+
+
+def angular_errors_after_gauge(wRi_est, wRi_gt):
+    """Align estimate to GT by the best single global rotation, return per-cam
+    angular errors in degrees."""
+    rel = jnp.einsum("nij,nkj->ik", jnp.asarray(wRi_gt), jnp.asarray(wRi_est))
+    G = lie.project_to_so3(rel)
+    aligned = jnp.einsum("ij,njk->nik", G, jnp.asarray(wRi_est))
+    return np.asarray(jnp.degrees(lie.rotation_angular_distance(aligned, jnp.asarray(wRi_gt))))
+
+
+def test_exact_circle():
+    wRi, wti = circle_poses(8)
+    edges = all_pairs_edges(8, max_gap=3)
+    i2Ri1, _ = relative_measurements(wRi, wti, edges)
+    est, info = ra.run_rotation_averaging(8, edges, i2Ri1)
+    errs = angular_errors_after_gauge(est, wRi)
+    assert errs.max() < 0.1
+    assert info["final_chordal_cost"] < 1e-4
+
+
+def test_noisy_circle(rng):
+    wRi, wti = circle_poses(10)
+    edges = all_pairs_edges(10, max_gap=4)
+    i2Ri1, _ = relative_measurements(wRi, wti, edges, rot_noise_deg=3.0, rng=rng)
+    est, info = ra.run_rotation_averaging(10, edges, i2Ri1)
+    errs = angular_errors_after_gauge(est, wRi)
+    assert errs.max() < 2.0  # reference accuracy contract
+
+
+def test_line_graph():
+    wRi, wti = line_poses(6)
+    # Rotate each camera a bit so rotations are nontrivial.
+    import jax.numpy as jnp
+    from gtsfm_tpu.geometry import lie as lie_mod
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(6, 3)).astype(np.float32) * 0.4
+    wRi = np.asarray(lie_mod.so3_exp(jnp.asarray(w)))
+    edges = all_pairs_edges(6, max_gap=2)
+    i2Ri1, _ = relative_measurements(wRi, wti, edges)
+    est, _ = ra.run_rotation_averaging(6, edges, i2Ri1)
+    errs = angular_errors_after_gauge(est, wRi)
+    assert errs.max() < 0.1
+
+
+def test_certificate_on_clean_data():
+    wRi, wti = circle_poses(6)
+    edges = all_pairs_edges(6)
+    i2Ri1, _ = relative_measurements(wRi, wti, edges)
+    est, info = ra.run_rotation_averaging(6, edges, i2Ri1)
+    # On exact measurements the certificate must pass (min eig ~ 0, not << 0).
+    key = [k for k in info if k.startswith("certificate_min_eig")][0]
+    assert info[key] > -1e-2

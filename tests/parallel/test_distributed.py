@@ -1,0 +1,73 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh (the TPU analog
+of the reference's LocalCluster stand-in, SURVEY.md section 4.4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsfm_tpu.bundle import ba
+from gtsfm_tpu.parallel import distributed
+from tests.bundle.test_ba import make_ba_problem, perturb
+from tests.geometry.test_epipolar import make_two_view_scene
+from gtsfm_tpu.geometry import lie
+
+
+def test_mesh_has_8_devices():
+    mesh = distributed.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_pair_sharded_verify(rng):
+    mesh = distributed.make_mesh()
+    scenes = [make_two_view_scene(rng, n_pts=64, noise=3e-4) for _ in range(8)]
+    x1 = jnp.stack([s[0] for s in scenes])
+    x2 = jnp.stack([s[1] for s in scenes])
+    res = distributed.pair_sharded_verify(
+        mesh, jax.random.PRNGKey(0), x1, x2, jnp.ones((8, 64)), 4e-3, num_hypotheses=128
+    )
+    for p in range(8):
+        assert bool(res.success[p])
+        err = float(jnp.degrees(lie.rotation_angular_distance(res.i2Ri1[p], scenes[p][2])))
+        assert err < 1.5
+
+
+def test_distributed_ba_step_matches_single_device(rng):
+    """The psum-reduced GN step must equal the single-device step."""
+    mesh = distributed.make_mesh()
+    sc_gt, _ = make_ba_problem(rng, n_cams=4, n_tracks=40, pixel_noise=0.3)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    assert sc0.num_measurements_padded % 8 == 0
+
+    cfg = ba.BAConfig()
+    stepped = distributed.distributed_ba_gn_step(mesh, sc0, lam=1e-4, cfg=cfg)
+
+    #
+
+    # Single-device equivalent: one _schur_solve with the same lambda.
+    N = sc0.num_cameras_padded
+    first_live = jnp.argmax(sc0.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=sc0.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * sc0.camera_mask
+    r, Jc, Jp = ba._build_blocks(sc0, cfg, cam_free)
+    dc, dp = ba._schur_solve(r, Jc, Jp, sc0, jnp.asarray(1e-4), cfg)
+    R, t, cal = ba._apply_camera_delta(sc0.wRi, sc0.wti, sc0.cal, dc)
+
+    # atol covers f32 accumulation-order differences between the psum-sharded
+    # and single-device segment sums.
+    np.testing.assert_allclose(np.asarray(stepped.wti), np.asarray(t), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stepped.points), np.asarray(sc0.points + dp), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_distributed_ba_step_reduces_cost(rng):
+    mesh = distributed.make_mesh()
+    sc_gt, _ = make_ba_problem(rng, n_cams=4, n_tracks=40, pixel_noise=0.2)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    c0 = float(ba.robust_cost(sc0, 1.345))
+    sc1 = distributed.distributed_ba_gn_step(mesh, sc0)
+    c1 = float(ba.robust_cost(sc1, 1.345))
+    assert c1 < 0.5 * c0
