@@ -1,0 +1,247 @@
+"""LightGlue attention matcher in Flax.
+
+TPU-native replacement for the torch LightGlue the reference wraps
+(gtsfm/frontend/matcher/lightglue_matcher.py:24; model at
+thirdparty/LightGlue). Architecture per the paper/official repo:
+
+  input projection -> 9 transformer layers, each = self-attention with 2D
+  rotary positional encoding (learnable Fourier frequencies) + bidirectional
+  cross-attention, both followed by a concat-MLP (LayerNorm + GELU) residual
+  update -> per-side linear heads -> double-softmax assignment with learned
+  matchability (sigmoid) -> mutual-max + threshold extraction.
+
+Adaptive depth/width (early exit, token pruning) is an inference-time
+optimization in the original; here depth is static (jit-friendly) — the
+accuracy-relevant path is identical to the full-depth original.
+
+Weight conversion targets the official ``superpoint_lightglue.pth`` layout
+(transformers.i.self_attn.Wqkv / cross_attn.to_qk / log_assignment ...).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+D_MODEL = 256
+NUM_HEADS = 4
+NUM_LAYERS = 9
+NEG = -1e9
+
+
+def rotary_embed(pos: jnp.ndarray, freqs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2D rotary encoding: pos (B, K, 2) x freqs (2, F) -> cos/sin (B, K, 2F)."""
+    proj = jnp.einsum("bkt,tf->bkf", pos, freqs)  # (B, K, F)
+    emb = jnp.concatenate([proj, proj], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, K, H, Dh); rotate feature pairs (interleaved halves)."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    rx = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rx * sin[:, :, None, :]
+
+
+class FFN(nn.Module):
+    """Concat-message MLP: Linear(2d->2d) -> LayerNorm -> GELU -> Linear(2d->d)."""
+
+    @nn.compact
+    def __call__(self, x, msg):
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(2 * D_MODEL, name="fc1")(y)
+        y = nn.LayerNorm(name="ln", use_fast_variance=False)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(D_MODEL, name="fc2")(y)
+        return x + y
+
+
+class SelfBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        dh = D_MODEL // NUM_HEADS
+        qkv = nn.Dense(3 * D_MODEL, name="Wqkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = x.shape[:2] + (NUM_HEADS, dh)
+        q, k, v = (t.reshape(shape) for t in (q, k, v))
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh * 1.0)
+        logits = jnp.where(mask[:, None, None, :] > 0, logits, NEG)
+        attn = jax.nn.softmax(logits, axis=-1)
+        msg = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(x.shape[:2] + (D_MODEL,))
+        msg = nn.Dense(D_MODEL, name="out_proj")(msg)
+        return FFN(name="ffn")(x, msg)
+
+
+class CrossBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x0, x1, mask0, mask1):
+        dh = D_MODEL // NUM_HEADS
+        to_qk = nn.Dense(D_MODEL, name="to_qk")
+        to_v = nn.Dense(D_MODEL, name="to_v")
+        out_proj = nn.Dense(D_MODEL, name="out_proj")
+        ffn = FFN(name="ffn")
+
+        def split(t):
+            return t.reshape(t.shape[:2] + (NUM_HEADS, dh))
+
+        qk0 = split(to_qk(x0))
+        qk1 = split(to_qk(x1))
+        v0 = split(to_v(x0))
+        v1 = split(to_v(x1))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qk0, qk1) / jnp.sqrt(dh * 1.0)
+        l01 = jnp.where(mask1[:, None, None, :] > 0, logits, NEG)
+        l10 = jnp.where(mask0[:, None, None, :] > 0, jnp.swapaxes(logits, -1, -2), NEG)
+        m0 = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(l01, -1), v1)
+        m1 = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(l10, -1), v0)
+        m0 = out_proj(m0.reshape(x0.shape[:2] + (D_MODEL,)))
+        m1 = out_proj(m1.reshape(x1.shape[:2] + (D_MODEL,)))
+        return ffn(x0, m0), ffn(x1, m1)
+
+
+class LightGlueNet(nn.Module):
+    @nn.compact
+    def __call__(self, desc0, desc1, pos0, pos1, mask0, mask1):
+        dh = D_MODEL // NUM_HEADS
+        in_proj = nn.Dense(D_MODEL, name="input_proj")
+        x0 = in_proj(desc0)
+        x1 = in_proj(desc1)
+        freqs = self.param(
+            "rotary_freqs", nn.initializers.normal(1.0), (2, dh // 2)
+        )
+        cos0, sin0 = rotary_embed(pos0, freqs)
+        cos1, sin1 = rotary_embed(pos1, freqs)
+        for i in range(NUM_LAYERS):
+            sb = SelfBlock(name=f"self{i}")
+            x0 = sb(x0, cos0, sin0, mask0)
+            x1 = sb(x1, cos1, sin1, mask1)
+            x0, x1 = CrossBlock(name=f"cross{i}")(x0, x1, mask0, mask1)
+        final_proj = nn.Dense(D_MODEL, name="final_proj")
+        matchability = nn.Dense(1, name="matchability")
+        md0 = final_proj(x0)
+        md1 = final_proj(x1)
+        z0 = matchability(x0)[..., 0]
+        z1 = matchability(x1)[..., 0]
+        sim = jnp.einsum("bkd,bld->bkl", md0, md1) / (D_MODEL**0.25) ** 2
+        return sim, z0, z1
+
+
+def assignment_scores(sim, z0, z1, mask0, mask1):
+    """Double-softmax + matchability -> log assignment (B, K0, K1)
+    (LightGlue MatchAssignment)."""
+    sim = jnp.where(mask0[:, :, None] > 0, sim, NEG)
+    sim = jnp.where(mask1[:, None, :] > 0, sim, NEG)
+    ls0 = jax.nn.log_softmax(sim, axis=2)
+    ls1 = jax.nn.log_softmax(sim, axis=1)
+    cert0 = jax.nn.log_sigmoid(z0)
+    cert1 = jax.nn.log_sigmoid(z1)
+    return ls0 + ls1 + cert0[:, :, None] + cert1[:, None, :]
+
+
+class LightGlue:
+    def __init__(self, params=None, match_threshold: float = 0.1,
+                 checkpoint_path: str | None = None):
+        self.net = LightGlueNet()
+        self.match_threshold = match_threshold
+        if params is None and checkpoint_path:
+            params = convert_torch_checkpoint(checkpoint_path)
+        self.params = params
+
+    def init_random(self, k: int = 32, seed: int = 0):
+        z = jnp.zeros((1, k, D_MODEL))
+        p = jnp.zeros((1, k, 2))
+        m = jnp.ones((1, k))
+        self.params = self.net.init(jax.random.PRNGKey(seed), z, z, p, p, m, m)["params"]
+        return self
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _run(self, desc0, desc1, pos0, pos1, mask0, mask1):
+        sim, z0, z1 = self.net.apply(
+            {"params": self.params}, desc0, desc1, pos0, pos1, mask0, mask1
+        )
+        logP = assignment_scores(sim, z0, z1, mask0, mask1)
+        best12 = jnp.argmax(logP, axis=2)
+        best21 = jnp.argmax(logP, axis=1)
+        k_ids = jnp.arange(logP.shape[1])[None, :]
+        mutual = jnp.take_along_axis(best21, best12, axis=1) == k_ids
+        score = jnp.exp(jnp.take_along_axis(logP, best12[..., None], axis=2)[..., 0])
+        ok = mutual & (score > self.match_threshold) & (mask0 > 0)
+        ok = ok & (jnp.take_along_axis(mask1, best12, axis=1) > 0)
+        return jnp.where(ok, best12, -1).astype(jnp.int32), ok.astype(jnp.float32)
+
+    def __call__(self, desc0, desc1, kpts0, kpts1, mask0, mask1,
+                 image_shape0, image_shape1):
+        def norm_kpts(kpts, shape):
+            h, w = shape
+            size = jnp.asarray([w, h], jnp.float32)
+            return (kpts - size / 2.0) / jnp.max(size)
+
+        return self._run(
+            desc0, desc1, norm_kpts(kpts0, image_shape0),
+            norm_kpts(kpts1, image_shape1), mask0, mask1,
+        )
+
+
+def convert_torch_checkpoint(path: str):
+    """Official superpoint_lightglue.pth -> flax params (best-effort mapping
+    of the public layout; raises with the missing keys listed if the layout
+    differs)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+
+    def dense(prefix):
+        w = sd[f"{prefix}.weight"].numpy()
+        if w.ndim == 3:
+            w = w[..., 0]
+        b_key = f"{prefix}.bias"
+        out = {"kernel": np.transpose(w, (1, 0))}
+        if b_key in sd:
+            out["bias"] = sd[b_key].numpy()
+        else:
+            out["bias"] = np.zeros(w.shape[0], np.float32)
+        return out
+
+    params: dict = {}
+    params["input_proj"] = dense("input_proj")
+    # Rotary frequencies: posenc.Wr (Linear(2, dh/2, bias=False)).
+    params["rotary_freqs"] = np.transpose(sd["posenc.Wr.weight"].numpy(), (1, 0))
+    for i in range(NUM_LAYERS):
+        base = f"transformers.{i}"
+        params[f"self{i}"] = {
+            "Wqkv": dense(f"{base}.self_attn.Wqkv"),
+            "out_proj": dense(f"{base}.self_attn.out_proj"),
+            "ffn": {
+                "fc1": dense(f"{base}.self_attn.ffn.0"),
+                "ln": {
+                    "scale": sd[f"{base}.self_attn.ffn.1.weight"].numpy(),
+                    "bias": sd[f"{base}.self_attn.ffn.1.bias"].numpy(),
+                },
+                "fc2": dense(f"{base}.self_attn.ffn.3"),
+            },
+        }
+        params[f"cross{i}"] = {
+            "to_qk": dense(f"{base}.cross_attn.to_qk"),
+            "to_v": dense(f"{base}.cross_attn.to_v"),
+            "out_proj": dense(f"{base}.cross_attn.to_out" if f"{base}.cross_attn.to_out.weight" in sd else f"{base}.cross_attn.out_proj"),
+            "ffn": {
+                "fc1": dense(f"{base}.cross_attn.ffn.0"),
+                "ln": {
+                    "scale": sd[f"{base}.cross_attn.ffn.1.weight"].numpy(),
+                    "bias": sd[f"{base}.cross_attn.ffn.1.bias"].numpy(),
+                },
+                "fc2": dense(f"{base}.cross_attn.ffn.3"),
+            },
+        }
+    last = NUM_LAYERS - 1
+    params["final_proj"] = dense(f"log_assignment.{last}.final_proj")
+    params["matchability"] = dense(f"log_assignment.{last}.matchability")
+    return jax.tree_util.tree_map(jnp.asarray, params)

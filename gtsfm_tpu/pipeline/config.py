@@ -17,6 +17,13 @@ class FrontendConfig:
     max_keypoints: int = 4096
     ratio_test: float = 0.8
     matcher_type: str = "mutual_nn"  # mutual_nn | superglue | lightglue
+    # Torch checkpoint paths for the deep models (converted on load). With no
+    # checkpoint the models refuse to run unless allow_random_weights is set
+    # (random weights are for tests only).
+    superpoint_checkpoint: str | None = None
+    superglue_checkpoint: str | None = None
+    lightglue_checkpoint: str | None = None
+    allow_random_weights: bool = False
 
 
 @dataclasses.dataclass

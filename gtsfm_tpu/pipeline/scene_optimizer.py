@@ -75,11 +75,43 @@ class SceneOptimizer:
             pairs = sequential_pairs(n, cfg.max_frame_lookahead)
         return [p for p in pairs if loader.is_valid_pair(*p)]
 
+    def _make_detector(self):
+        """Returns detect(gray_image) -> features with (uv, response,
+        descriptor, mask) fields, per the configured feature type."""
+        cfg = self.config.frontend
+        if cfg.feature_type == "sift":
+            return lambda gray: sift.detect_and_describe(
+                jnp.asarray(gray), max_keypoints=cfg.max_keypoints
+            )
+        if cfg.feature_type == "superpoint":
+            from gtsfm_tpu.frontend.deep import superpoint as sp_mod
+
+            sp = sp_mod.SuperPoint(
+                max_keypoints=cfg.max_keypoints,
+                checkpoint_path=cfg.superpoint_checkpoint,
+            )
+            if sp.params is None:
+                if not cfg.allow_random_weights:
+                    raise ValueError(
+                        "superpoint requires a checkpoint "
+                        "(frontend.superpoint_checkpoint) or allow_random_weights"
+                    )
+                sp.init_random()
+
+            def detect(gray):
+                h8 = (gray.shape[0] // 8) * 8
+                w8 = (gray.shape[1] // 8) * 8
+                return sp(jnp.asarray(gray[:h8, :w8]))
+
+            return detect
+        raise ValueError(f"unknown feature_type {cfg.feature_type}")
+
     def compute_features(self, loader: LoaderBase):
         cfg = self.config.frontend
         cache = FeatureCache(
             os.path.join(self.config.cache_dir, "features"), self.config.enable_cache
         )
+        detect = self._make_detector()
         feats, cals, sizes = [], [], []
         tag = f"{cfg.feature_type}-{cfg.max_keypoints}-{self.config.max_resolution}"
         for i in range(len(loader)):
@@ -89,13 +121,16 @@ class SceneOptimizer:
             hit = cache.load(key)
             if hit is not None:
                 f = sift.SiftFeatures(
-                    uv=jnp.asarray(hit["uv"]), scale=jnp.asarray(hit["scale"]),
+                    uv=jnp.asarray(hit["uv"]),
+                    scale=jnp.asarray(hit["scale"]),
                     response=jnp.asarray(hit["response"]),
                     descriptor=jnp.asarray(hit["descriptor"]), mask=jnp.asarray(hit["mask"]),
                 )
             else:
-                f = sift.detect_and_describe(
-                    jnp.asarray(gray), max_keypoints=cfg.max_keypoints
+                raw = detect(gray)
+                f = sift.SiftFeatures(
+                    uv=raw.uv, scale=getattr(raw, "scale", jnp.zeros_like(raw.response)),
+                    response=raw.response, descriptor=raw.descriptor, mask=raw.mask,
                 )
                 cache.save(
                     key,
@@ -110,6 +145,37 @@ class SceneOptimizer:
             sizes.append((img.width, img.height))
         return feats, np.stack(cals), sizes
 
+    def _deep_match(self, feats, pairs, d1, d2, k1, k2, m1, m2):
+        """SuperGlue / LightGlue batched matching (superpoint features)."""
+        fe = self.config.frontend
+        s1 = jnp.stack([feats[a].response for a, b in pairs])
+        s2 = jnp.stack([feats[b].response for a, b in pairs])
+        # Image shapes: derive from keypoint extents is fragile; the matchers
+        # only use shape for coordinate normalization, so the max_resolution
+        # bound is adequate.
+        shape = (self.config.max_resolution, self.config.max_resolution)
+        if fe.matcher_type == "superglue":
+            from gtsfm_tpu.frontend.deep import superglue as sg_mod
+
+            sg = sg_mod.SuperGlue(checkpoint_path=fe.superglue_checkpoint)
+            if sg.params is None:
+                if not fe.allow_random_weights:
+                    raise ValueError(
+                        "superglue requires a checkpoint or allow_random_weights"
+                    )
+                sg.init_random(k=d1.shape[1])
+            return sg(d1, d2, k1, k2, s1, s2, m1, m2, shape, shape)
+        from gtsfm_tpu.frontend.deep import lightglue as lg_mod
+
+        lg = lg_mod.LightGlue(checkpoint_path=fe.lightglue_checkpoint)
+        if lg.params is None:
+            if not fe.allow_random_weights:
+                raise ValueError(
+                    "lightglue requires a checkpoint or allow_random_weights"
+                )
+            lg.init_random(k=d1.shape[1])
+        return lg(d1, d2, k1, k2, m1, m2, shape, shape)
+
     def run_two_view(self, feats, cals, pairs):
         """Batched matching + batched RANSAC for all pairs at once."""
         fe = self.config.frontend
@@ -120,7 +186,14 @@ class SceneOptimizer:
         m2 = jnp.stack([feats[b].mask for a, b in pairs])
         k1 = jnp.stack([feats[a].uv for a, b in pairs])
         k2 = jnp.stack([feats[b].uv for a, b in pairs])
-        idx, mm = matching.mutual_nearest_matching(d1, d2, m1, m2, ratio_test=fe.ratio_test)
+        if fe.matcher_type == "mutual_nn":
+            idx, mm = matching.mutual_nearest_matching(
+                d1, d2, m1, m2, ratio_test=fe.ratio_test
+            )
+        elif fe.matcher_type in ("superglue", "lightglue"):
+            idx, mm = self._deep_match(feats, pairs, d1, d2, k1, k2, m1, m2)
+        else:
+            raise ValueError(f"unknown matcher_type {fe.matcher_type}")
         x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
 
         K1 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[a])) for a, b in pairs])
