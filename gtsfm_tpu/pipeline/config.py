@@ -32,6 +32,9 @@ class TwoViewConfig:
     num_hypotheses: int = 512
     min_inliers: int = 15  # InlierSupportProcessor (reference :19)
     min_inlier_ratio: float = 0.1
+    ba_enabled: bool = True  # 2-view BA refine (reference run_2view :136)
+    ba_reproj_thresh_px: float = 0.5  # reference deep_front_end.yaml:42
+    ba_iterations: int = 20
 
 
 @dataclasses.dataclass

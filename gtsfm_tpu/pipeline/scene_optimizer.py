@@ -208,6 +208,25 @@ class SceneOptimizer:
             min_inliers=tv.min_inliers,
             min_inlier_ratio=tv.min_inlier_ratio,
         )
+
+        if tv.ba_enabled:
+            from gtsfm_tpu.twoview import estimator as tv_est
+
+            refined = tv_est.two_view_ba_batched(
+                res.i2Ri1, res.i2Ui1, x1n, x2n, res.inlier_mask,
+                tv.ba_reproj_thresh_px / f_mean,
+                iterations=tv.ba_iterations,
+            )
+            num_inl = jnp.sum(refined.inlier_mask, axis=-1)
+            n_corr = jnp.maximum(jnp.sum(cm, axis=-1), 1.0)
+            res = ransac.TwoViewResult(
+                i2Ri1=refined.i2Ri1,
+                i2Ui1=refined.i2Ui1,
+                inlier_mask=refined.inlier_mask,
+                num_inliers=num_inl,
+                inlier_ratio=num_inl / n_corr,
+                success=res.success & (num_inl >= tv.min_inliers),
+            )
         return res, idx
 
     def run(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
