@@ -40,6 +40,7 @@ from gtsfm_tpu.geometry import alignment, cameras, triangulation
 from gtsfm_tpu.io import colmap_io
 from gtsfm_tpu.loader.base import LoaderBase
 from gtsfm_tpu.multiview import (
+    data_association,
     rotation_averaging as ra,
     tracks as tracks_mod,
     translation_averaging as ta,
@@ -321,21 +322,22 @@ class SceneOptimizer:
         if not trks:
             raise RuntimeError("no tracks formed")
 
-        # Triangulate with averaged poses.
+        # Triangulate with averaged poses (RANSAC over measurement pairs +
+        # exit codes, reference point3d_initializer semantics).
         sc = scene_mod.make_scene(np.asarray(wRi_est), wti_est, cals, meas_tracks)
         max_len = max(len(t) for t in trks)
         cam_idx, uv_t, mask_t = scene_mod.tracks_to_padded(sc, max_track_len=max_len)
-        K_all = np.asarray(jax.vmap(cameras.K_from_bundler)(jnp.asarray(cals)))
-        P_mats = np.asarray(
-            jax.vmap(triangulation.projection_matrix)(
-                jnp.asarray(np.asarray(wRi_est)), jnp.asarray(wti_est), jnp.asarray(K_all)
-            )
+        tri = data_association.triangulate_tracks_robust(
+            jnp.asarray(np.asarray(wRi_est)), jnp.asarray(wti_est), jnp.asarray(cals),
+            jnp.asarray(cam_idx), jnp.asarray(uv_t), jnp.asarray(mask_t),
+            reproj_thresh_px=cfg.multi_view.triangulation_reproj_thresh_px,
         )
-        X0 = triangulation.triangulate_tracks_dlt(
-            jnp.asarray(P_mats[cam_idx]), jnp.asarray(uv_t), jnp.asarray(mask_t)
-        )
-        sc = dataclasses.replace(sc, points=X0)
-        sc = sc.filter_landmarks(2.0 * cfg.multi_view.triangulation_reproj_thresh_px)
+        sc = dataclasses.replace(sc, points=tri.points)
+        codes = np.asarray(tri.exit_codes)
+        g = metrics[-1]  # data_association_metrics group appended above
+        for name, count in data_association.exit_code_histogram(codes).items():
+            g.add(f"exit_{name}", count)
+        sc = sc.filter_landmarks(cfg.multi_view.triangulation_reproj_thresh_px)
         wRi_pre_ba, wti_pre_ba = np.asarray(sc.wRi), np.asarray(sc.wti)
 
         # Global BA.

@@ -1,0 +1,72 @@
+"""Triangulation RANSAC tests (reference tests/data_association/
+test_point3d_initializer.py strategy: synthetic tracks + outliers)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.multiview import data_association as da
+from tests.geometry.test_triangulation import make_scene
+
+
+def unpack_scene(rng, n_cams=6, n_tracks=20, noise=0.3):
+    wRi_t, wti_t, cal_t, uv, X = make_scene(rng, n_cams=n_cams, n_tracks=n_tracks, noise=noise)
+    wRi = wRi_t[:, 0][0:1].repeat(1, 0)  # placeholder; rebuild below
+    # make_scene tiles cameras per track; recover the camera arrays:
+    wRi = np.asarray(wRi_t)[0]
+    wti = np.asarray(wti_t)[0]
+    cal = np.asarray(cal_t)[0]
+    cam_idx = np.tile(np.arange(n_cams, dtype=np.int32)[None], (n_tracks, 1))
+    mask = np.ones((n_tracks, n_cams), np.float32)
+    return (
+        jnp.asarray(wRi), jnp.asarray(wti), jnp.asarray(cal),
+        jnp.asarray(cam_idx), jnp.asarray(np.asarray(uv)), jnp.asarray(mask),
+        np.asarray(X),
+    )
+
+
+def test_clean_tracks_success(rng):
+    wRi, wti, cal, cam_idx, uv, mask, X = unpack_scene(rng, noise=0.2)
+    res = da.triangulate_tracks_robust(wRi, wti, cal, cam_idx, uv, mask)
+    assert np.all(np.asarray(res.exit_codes) == da.TriangulationExitCode.SUCCESS)
+    np.testing.assert_allclose(np.asarray(res.points), X, atol=0.05)
+    assert np.asarray(res.inlier_mask).mean() > 0.95
+
+
+def test_outlier_measurements_rejected(rng):
+    wRi, wti, cal, cam_idx, uv, mask, X = unpack_scene(rng, noise=0.2)
+    uv = np.asarray(uv).copy()
+    # Corrupt one measurement per track (gross outlier).
+    uv[:, 2] += 80.0
+    res = da.triangulate_tracks_robust(
+        wRi, wti, cal, cam_idx, jnp.asarray(uv), mask, reproj_thresh_px=5.0
+    )
+    assert np.all(np.asarray(res.exit_codes) == da.TriangulationExitCode.SUCCESS)
+    # Corrupted column excluded, points still accurate (plain DLT would drift).
+    assert np.asarray(res.inlier_mask)[:, 2].mean() < 0.1
+    np.testing.assert_allclose(np.asarray(res.points), X, atol=0.05)
+
+
+def test_exit_code_insufficient_measurements(rng):
+    wRi, wti, cal, cam_idx, uv, mask, X = unpack_scene(rng)
+    mask = np.asarray(mask).copy()
+    mask[0, 1:] = 0.0  # track 0 has a single measurement
+    res = da.triangulate_tracks_robust(wRi, wti, cal, cam_idx, uv, jnp.asarray(mask))
+    codes = np.asarray(res.exit_codes)
+    assert codes[0] == da.TriangulationExitCode.INSUFFICIENT_MEASUREMENTS
+    assert np.all(codes[1:] == da.TriangulationExitCode.SUCCESS)
+
+
+def test_exit_code_histogram():
+    codes = np.asarray([0, 0, 2, 3, 4, 0])
+    h = da.exit_code_histogram(codes)
+    assert h["success"] == 3
+    assert h["insufficient_measurements"] == 1
+    assert h["exceeds_reproj_threshold"] == 1
+    assert h["insufficient_angle"] == 1
+
+
+def test_no_ransac_mode_matches_on_clean_data(rng):
+    wRi, wti, cal, cam_idx, uv, mask, X = unpack_scene(rng, noise=0.1)
+    r1 = da.triangulate_tracks_robust(wRi, wti, cal, cam_idx, uv, mask, use_ransac=True)
+    r2 = da.triangulate_tracks_robust(wRi, wti, cal, cam_idx, uv, mask, use_ransac=False)
+    np.testing.assert_allclose(np.asarray(r1.points), np.asarray(r2.points), atol=0.02)
