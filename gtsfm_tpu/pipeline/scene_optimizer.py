@@ -386,6 +386,9 @@ class SceneOptimizer:
         metrics.append(g)
 
         if save_outputs:
+            from gtsfm_tpu.evaluation.report import generate_metrics_report_html
+            from gtsfm_tpu.ui.process_graph import save_process_graph
+
             out = cfg.output_root
             os.makedirs(out, exist_ok=True)
             colmap_io.export_scene_as_colmap_text(
@@ -393,6 +396,10 @@ class SceneOptimizer:
                 file_names=loader.image_filenames(), image_sizes=sizes,
             )
             save_metrics_reports(metrics, os.path.join(out, "result_metrics"))
+            generate_metrics_report_html(
+                metrics, os.path.join(out, "result_metrics", "gtsfm_metrics_report.html")
+            )
+            save_process_graph(cfg, os.path.join(out, "plots"))
 
         return ReconstructionResult(
             scene=final, metrics=metrics, wRi_pre_ba=wRi_pre_ba, wti_pre_ba=wti_pre_ba

@@ -1,0 +1,86 @@
+"""Reproducibility suite: nondeterminism-prone components must be bitwise
+stable across repeated runs (reference tests/repro_tests/test_repro_base.py:11,
+NUM_REPETITIONS=10; 5 here — the failure mode is binary)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+NUM_REPETITIONS = 5
+
+
+def assert_repeatable(fn, to_arrays, n=NUM_REPETITIONS):
+    ref = to_arrays(fn())
+    for _ in range(n - 1):
+        out = to_arrays(fn())
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sift_repro(rng):
+    from gtsfm_tpu.frontend import sift
+    from tests.frontend.test_sift import SMALL, make_texture
+
+    img = jnp.asarray(make_texture(np.random.default_rng(7)))
+    assert_repeatable(
+        lambda: sift.detect_and_describe(img, **SMALL),
+        lambda f: (f.uv, f.descriptor, f.mask),
+    )
+
+
+def test_matcher_repro(rng):
+    from gtsfm_tpu.ops import matching
+
+    d1 = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    a, b = jnp.asarray(d1[:1]), jnp.asarray(d1[1:])
+    m = jnp.ones((1, 64))
+    assert_repeatable(
+        lambda: matching.mutual_nearest_matching(a, b, m, m),
+        lambda out: out,
+    )
+
+
+def test_ransac_repro(rng):
+    """Fixed PRNG key -> identical verification output (the reference's USAC
+    is only repeatable because of fixed seeds too)."""
+    from gtsfm_tpu.ops import ransac
+    from tests.geometry.test_epipolar import make_two_view_scene
+
+    x1, x2, _, _ = make_two_view_scene(np.random.default_rng(3), n_pts=100, noise=3e-4)
+    key = jax.random.PRNGKey(9)
+    assert_repeatable(
+        lambda: ransac.verify_essential_batched(
+            key, x1[None], x2[None], jnp.ones((1, 100)), 4e-3, num_hypotheses=128
+        ),
+        lambda r: (r.i2Ri1, r.i2Ui1, r.inlier_mask),
+    )
+
+
+def test_tracks_repro():
+    from gtsfm_tpu.multiview import tracks as tracks_mod
+
+    rng = np.random.default_rng(11)
+    match_dict = {
+        (0, 1): rng.integers(0, 50, size=(30, 2)),
+        (1, 2): rng.integers(0, 50, size=(25, 2)),
+        (0, 2): rng.integers(0, 50, size=(20, 2)),
+    }
+    assert_repeatable(
+        lambda: tracks_mod.tracks_from_matches(3, 64, match_dict),
+        lambda t: (np.asarray([(i, k) for tr in t for (i, k) in tr], np.int64),),
+    )
+
+
+def test_ba_repro(rng):
+    from gtsfm_tpu.bundle import ba
+    from tests.bundle.test_ba import make_ba_problem, perturb
+
+    sc_gt, _ = make_ba_problem(np.random.default_rng(5), n_cams=4, n_tracks=20, pixel_noise=0.2)
+    sc0 = perturb(np.random.default_rng(6), sc_gt, 1.0, 0.05, 0.05)
+    assert_repeatable(
+        lambda: ba.lm_optimize(sc0, ba.BAConfig(max_iterations=5)),
+        lambda r: (r.scene.wti, r.scene.points),
+        n=3,
+    )
