@@ -1,0 +1,165 @@
+"""Loader tests against real reference datasets where available
+(hilti_exp4_small, astrovision segment) + synthetic roundtrips."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DATA, reference_data_available
+
+HILTI = os.path.join(REFERENCE_DATA, "hilti_exp4_small")
+ASTRO = os.path.join(REFERENCE_DATA, "astrovision")
+
+
+@pytest.mark.skipif(not os.path.isdir(HILTI), reason="hilti data not mounted")
+def test_hilti_loader():
+    from gtsfm_tpu.loader.hilti import HiltiLoader
+
+    loader = HiltiLoader(HILTI)
+    assert loader.num_rig_poses >= 3
+    assert len(loader) == loader.num_rig_poses * 5
+    cal = loader.get_fisheye_calibration(0)
+    assert cal.shape == (9,)
+    assert 300 < cal[0] < 1500  # plausible fisheye focal
+    pose = loader.get_camera_pose(0)
+    if pose is not None:
+        R, t = pose
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert len(loader.constraints) > 0
+    priors = loader.get_relative_pose_priors()
+    assert len(priors) > 0
+    # Rig-aware pairing: same rig different cams valid; same image invalid.
+    assert loader.is_valid_pair(0, 1)
+    assert not loader.is_valid_pair(1, 0)
+
+
+@pytest.mark.skipif(not os.path.isdir(HILTI), reason="hilti data not mounted")
+def test_constraint_roundtrip(tmp_path):
+    from gtsfm_tpu.common.constraint import Constraint
+
+    cs = Constraint.read(os.path.join(HILTI, "lidar", "constraints.txt"))
+    assert len(cs) > 0
+    c = cs[0]
+    np.testing.assert_allclose(c.aRb @ c.aRb.T, np.eye(3), atol=1e-6)
+    out = str(tmp_path / "constraints.txt")
+    Constraint.write(out, cs)
+    cs2 = Constraint.read(out)
+    assert len(cs2) == len(cs)
+    np.testing.assert_allclose(cs2[0].aRb, c.aRb, atol=1e-12)
+    np.testing.assert_allclose(cs2[0].cov, c.cov, atol=1e-12)
+
+
+def _find_astrovision_segment():
+    if not os.path.isdir(ASTRO):
+        return None
+    for root, dirs, files in os.walk(ASTRO):
+        if "cameras.bin" in files:
+            return root
+    return None
+
+
+@pytest.mark.skipif(_find_astrovision_segment() is None, reason="astrovision data not mounted")
+def test_astrovision_loader():
+    from gtsfm_tpu.loader.astrovision import AstrovisionLoader
+
+    seg = _find_astrovision_segment()
+    loader = AstrovisionLoader(seg)
+    assert len(loader) > 0
+    cal = loader.get_camera_intrinsics_full_res(0)
+    assert cal[0] > 0
+    R, t = loader.get_camera_pose(0)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_mobilebrick_loader_synthetic(tmp_path, rng):
+    """Build a tiny synthetic MobileBrick layout and load it."""
+    from PIL import Image as PILImage
+
+    from gtsfm_tpu.loader.mobilebrick import MobilebrickLoader
+
+    for d in ("image", "intrinsic", "pose"):
+        os.makedirs(tmp_path / d)
+    for i in range(3):
+        PILImage.fromarray(
+            (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        ).save(tmp_path / "image" / f"{i:06d}.jpg")
+        K = np.asarray([[500.0, 0, 32], [0, 510, 24], [0, 0, 1]])
+        np.savetxt(tmp_path / "intrinsic" / f"{i:06d}.txt", K)
+        P = np.eye(4)
+        P[:3, 3] = [i, 0, 0]
+        np.savetxt(tmp_path / "pose" / f"{i:06d}.txt", P)
+
+    loader = MobilebrickLoader(str(tmp_path))
+    assert len(loader) == 3
+    cal = loader.get_camera_intrinsics_full_res(0)
+    assert cal[0] == 505.0
+    R, t = loader.get_camera_pose(2)
+    np.testing.assert_allclose(t, [2, 0, 0])
+    img, cal_s = loader.get_image(0)
+    assert img.height <= 1024
+
+
+def test_colmap_bin_roundtrip_against_text(tmp_path, rng):
+    """Write a text model with our writer, convert to bin via struct by hand
+    is overkill — instead verify bin readers on a minimal handcrafted file."""
+    import struct
+
+    from gtsfm_tpu.io import colmap_bin
+
+    # cameras.bin with one SIMPLE_RADIAL camera.
+    with open(tmp_path / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 2, 640, 480))
+        f.write(struct.pack("<4d", 500.0, 320.0, 240.0, 0.1))
+    cams = colmap_bin.read_cameras_bin(str(tmp_path / "cameras.bin"))
+    model, w, h, params = cams[1]
+    assert model == "SIMPLE_RADIAL" and (w, h) == (640, 480)
+    cal = colmap_bin.colmap_camera_to_cal3bundler(model, params)
+    np.testing.assert_allclose(cal, [500, 0.1, 0, 320, 240])
+
+    # images.bin with one image, 2 keypoints.
+    with open(tmp_path / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 7))
+        f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+        f.write(struct.pack("<3d", 1.0, 2.0, 3.0))
+        f.write(struct.pack("<i", 1))
+        f.write(b"img7.jpg\x00")
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ddq", 10.0, 20.0, 5))
+        f.write(struct.pack("<ddq", 30.0, 40.0, -1))
+    images = colmap_bin.read_images_bin(str(tmp_path / "images.bin"))
+    qvec, tvec, cam_id, name, xys, ids = images[7]
+    assert name == "img7.jpg" and cam_id == 1
+    np.testing.assert_allclose(xys, [[10, 20], [30, 40]])
+    np.testing.assert_array_equal(ids, [5, -1])
+
+    # points3D.bin with one point observed twice.
+    with open(tmp_path / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<Q", 5))
+        f.write(struct.pack("<3d", 1.0, 2.0, 3.0))
+        f.write(struct.pack("<3B", 255, 128, 0))
+        f.write(struct.pack("<d", 0.5))
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ii", 7, 0))
+        f.write(struct.pack("<ii", 8, 3))
+    ids, xyz, rgb, errs, tracks = colmap_bin.read_points3d_bin(str(tmp_path / "points3D.bin"))
+    np.testing.assert_allclose(xyz[0], [1, 2, 3])
+    assert tracks[0] == [(7, 0), (8, 3)]
+
+
+IMB = os.path.join(REFERENCE_DATA, "imb_reichstag")
+
+
+@pytest.mark.skipif(not os.path.isdir(IMB), reason="imb data not mounted")
+def test_yfcc_imb_loader():
+    from gtsfm_tpu.loader.yfcc_imb import YfccImbLoader
+
+    loader = YfccImbLoader(IMB)
+    assert len(loader) > 5
+    cal = loader.get_camera_intrinsics_full_res(0)
+    assert cal[0] > 100
+    R, t = loader.get_camera_pose(0)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
