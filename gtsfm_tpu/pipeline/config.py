@@ -56,11 +56,20 @@ class RetrieverConfig:
 
 
 @dataclasses.dataclass
+class DensifyConfig:
+    enabled: bool = False  # reference: --mvs_off flag gates PatchmatchNet
+    num_depths: int = 64
+    num_src_views: int = 4
+    max_resolution: int = 400  # MVS runs on downscaled images
+
+
+@dataclasses.dataclass
 class PipelineConfig:
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
     two_view: TwoViewConfig = dataclasses.field(default_factory=TwoViewConfig)
     multi_view: MultiViewConfig = dataclasses.field(default_factory=MultiViewConfig)
     retriever: RetrieverConfig = dataclasses.field(default_factory=RetrieverConfig)
+    densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)
     max_resolution: int = 760
     output_root: str = "results"
     cache_dir: str = "cache"

@@ -385,6 +385,38 @@ class SceneOptimizer:
         g.add("total_runtime_sec", time.time() - t0)
         metrics.append(g)
 
+        if cfg.densify.enabled:
+            from gtsfm_tpu.common.image import rescale_image
+            from gtsfm_tpu.densify import plane_sweep
+
+            small_imgs = []
+            for i in range(n):
+                img, _ = loader.get_image(i)
+                img_s, sc_factor = rescale_image(img, cfg.densify.max_resolution)
+                small_imgs.append(img_s.value_array)
+            # Scale scene intrinsics to the MVS resolution.
+            mvs_scale = min(small_imgs[0].shape[:2]) / min(
+                loader.get_image(0)[0].value_array.shape[:2]
+            )
+            mvs_cal = np.asarray(final.cal).copy()
+            mvs_cal[:, [0, 3, 4]] *= mvs_scale
+            mvs_scene = dataclasses.replace(final, cal=jnp.asarray(mvs_cal))
+            dense = plane_sweep.densify(
+                small_imgs, mvs_scene,
+                num_depths=cfg.densify.num_depths,
+                num_src_views=cfg.densify.num_src_views,
+            )
+            g = MetricsGroup("densify_metrics")
+            for k, v in dense.metrics.items():
+                g.add(k, v)
+            metrics.append(g)
+            if save_outputs:
+                os.makedirs(cfg.output_root, exist_ok=True)
+                colmap_io.write_ply(
+                    os.path.join(cfg.output_root, "dense_point_cloud.ply"),
+                    dense.points, dense.rgb,
+                )
+
         if save_outputs:
             from gtsfm_tpu.evaluation.report import generate_metrics_report_html
             from gtsfm_tpu.ui.process_graph import save_process_graph
