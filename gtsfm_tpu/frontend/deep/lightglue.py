@@ -71,10 +71,15 @@ class SelfBlock(nn.Module):
         q, k, v = (t.reshape(shape) for t in (q, k, v))
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh * 1.0)
-        logits = jnp.where(mask[:, None, None, :] > 0, logits, NEG)
-        attn = jax.nn.softmax(logits, axis=-1)
-        msg = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(x.shape[:2] + (D_MODEL,))
+        from gtsfm_tpu.ops.pallas_kernels.attention import masked_attention
+
+        B, K = x.shape[0], x.shape[1]
+        flat = lambda t: t.transpose(0, 2, 1, 3).reshape(B * NUM_HEADS, K, dh)
+        msg = masked_attention(
+            flat(q), flat(k), flat(v), jnp.repeat(mask, NUM_HEADS, axis=0)
+        )
+        msg = msg.reshape(B, NUM_HEADS, K, dh).transpose(0, 2, 1, 3)
+        msg = msg.reshape(x.shape[:2] + (D_MODEL,)).astype(x.dtype)
         msg = nn.Dense(D_MODEL, name="out_proj")(msg)
         return FFN(name="ffn")(x, msg)
 
@@ -95,13 +100,18 @@ class CrossBlock(nn.Module):
         qk1 = split(to_qk(x1))
         v0 = split(to_v(x0))
         v1 = split(to_v(x1))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qk0, qk1) / jnp.sqrt(dh * 1.0)
-        l01 = jnp.where(mask1[:, None, None, :] > 0, logits, NEG)
-        l10 = jnp.where(mask0[:, None, None, :] > 0, jnp.swapaxes(logits, -1, -2), NEG)
-        m0 = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(l01, -1), v1)
-        m1 = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(l10, -1), v0)
-        m0 = out_proj(m0.reshape(x0.shape[:2] + (D_MODEL,)))
-        m1 = out_proj(m1.reshape(x1.shape[:2] + (D_MODEL,)))
+        from gtsfm_tpu.ops.pallas_kernels.attention import masked_attention
+
+        B, K = x0.shape[0], x0.shape[1]
+        flat = lambda t: t.transpose(0, 2, 1, 3).reshape(B * NUM_HEADS, -1, dh)
+        rep = lambda m: jnp.repeat(m, NUM_HEADS, axis=0)
+        m0 = masked_attention(flat(qk0), flat(qk1), flat(v1), rep(mask1))
+        m1 = masked_attention(flat(qk1), flat(qk0), flat(v0), rep(mask0))
+        unflat = lambda t, x: t.reshape(B, NUM_HEADS, -1, dh).transpose(0, 2, 1, 3).reshape(
+            x.shape[:2] + (D_MODEL,)
+        ).astype(x.dtype)
+        m0 = out_proj(unflat(m0, x0))
+        m1 = out_proj(unflat(m1, x1))
         return ffn(x0, m0), ffn(x1, m1)
 
 

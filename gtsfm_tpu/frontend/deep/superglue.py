@@ -60,11 +60,18 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (NUM_HEADS, d_head))
 
         q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d_head * 1.0)
-        logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, NEG)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(out.shape[:2] + (D_MODEL,))
+        # (B, K, H, Dh) -> (B*H, K, Dh) for the flash kernel dispatcher
+        # (Pallas online-softmax on TPU for large K, einsum fallback).
+        from gtsfm_tpu.ops.pallas_kernels.attention import masked_attention
+
+        B, K = q.shape[0], q.shape[1]
+        def flat(t):
+            return t.transpose(0, 2, 1, 3).reshape(B * NUM_HEADS, -1, d_head)
+
+        mask_rep = jnp.repeat(kv_mask, NUM_HEADS, axis=0)
+        out = masked_attention(flat(q), flat(k), flat(v), mask_rep)
+        out = out.reshape(B, NUM_HEADS, K, d_head).transpose(0, 2, 1, 3)
+        out = out.reshape(B, K, D_MODEL).astype(q_in.dtype)
         return nn.Dense(D_MODEL, name="merge")(out)
 
 
