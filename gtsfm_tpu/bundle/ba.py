@@ -63,6 +63,19 @@ class BAConfig(NamedTuple):
     lambda_max: float = 1e6
 
 
+class RelativePosePriors(NamedTuple):
+    """Between-factor priors (reference bundle_adjustment.py:135
+    _between_factors / BetweenFactorPose3): soft relative-pose constraints
+    a->b with a scalar information weight per edge (isotropic; covariance
+    scaling folded into ``weight = 1/sigma``)."""
+
+    edges_a: jnp.ndarray  # (Ep,) int32
+    edges_b: jnp.ndarray  # (Ep,)
+    aRb: jnp.ndarray  # (Ep, 3, 3) measured rotation of frame b in frame a
+    atb: jnp.ndarray  # (Ep, 3) measured translation of b in frame a
+    weight: jnp.ndarray  # (Ep,) sqrt-information scale
+
+
 class BAResult(NamedTuple):
     scene: SceneData
     initial_cost: jnp.ndarray
@@ -213,7 +226,49 @@ def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
     return dc, dp
 
 
-def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
+def _prior_residual_one(dc_a, dc_b, wRa, wta, wRb, wtb, aRb_m, atb_m):
+    """6-dim between-factor residual as a function of the two camera deltas."""
+    Ra, ta, _ = _apply_camera_delta(wRa, wta, jnp.zeros(5), dc_a)
+    Rb, tb, _ = _apply_camera_delta(wRb, wtb, jnp.zeros(5), dc_b)
+    aRb_pred = Ra.T @ Rb
+    atb_pred = Ra.T @ (tb - ta)
+    r_rot = lie.so3_log(jnp.swapaxes(aRb_m, -1, -2) @ aRb_pred)
+    return jnp.concatenate([r_rot, atb_pred - atb_m])
+
+
+_prior_jac_one = jax.jacfwd(_prior_residual_one, argnums=(0, 1))
+
+
+def _prior_blocks(scene: SceneData, priors: RelativePosePriors, cam_free):
+    """Residuals + Jacobians of the between factors, sqrt-weighted."""
+    ea, eb = priors.edges_a, priors.edges_b
+    z = jnp.zeros((ea.shape[0], CAM_DIM), scene.meas_uv.dtype)
+    r = jax.vmap(_prior_residual_one)(
+        z, z, scene.wRi[ea], scene.wti[ea], scene.wRi[eb], scene.wti[eb],
+        priors.aRb, priors.atb,
+    )
+    Ja, Jb = jax.vmap(_prior_jac_one)(
+        z, z, scene.wRi[ea], scene.wti[ea], scene.wRi[eb], scene.wti[eb],
+        priors.aRb, priors.atb,
+    )
+    sw = priors.weight[:, None]
+    r = r * sw
+    Ja = Ja * sw[..., None] * cam_free[ea][:, None, None]
+    Jb = Jb * sw[..., None] * cam_free[eb][:, None, None]
+    return r, Ja, Jb
+
+
+def prior_cost(scene: SceneData, priors: RelativePosePriors) -> jnp.ndarray:
+    ea, eb = priors.edges_a, priors.edges_b
+    z = jnp.zeros((ea.shape[0], CAM_DIM), scene.meas_uv.dtype)
+    r = jax.vmap(_prior_residual_one)(
+        z, z, scene.wRi[ea], scene.wti[ea], scene.wRi[eb], scene.wti[eb],
+        priors.aRb, priors.atb,
+    )
+    return 0.5 * jnp.sum((r * priors.weight[:, None]) ** 2)
+
+
+def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig, prior_blocks=None):
     """Exact reduced-camera solve: materialize S = Hcc - Hcp Hpp^-1 Hpc as a
     dense (9N, 9N) matrix via one big MXU matmul, then Cholesky.
 
@@ -241,6 +296,12 @@ def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
         indices_are_sorted=sorted_by_track,
     )
     bc = -jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), mc, num_segments=N)
+    if prior_blocks is not None:
+        rp, Ja, Jb, ea, eb = prior_blocks
+        Hcc = Hcc + jax.ops.segment_sum(jnp.einsum("eki,ekj->eij", Ja, Ja), ea, num_segments=N)
+        Hcc = Hcc + jax.ops.segment_sum(jnp.einsum("eki,ekj->eij", Jb, Jb), eb, num_segments=N)
+        bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Ja, rp), ea, num_segments=N)
+        bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Jb, rp), eb, num_segments=N)
     bp = -jax.ops.segment_sum(
         jnp.einsum("mki,mk->mi", Jp, r), mt, num_segments=T,
         indices_are_sorted=sorted_by_track,
@@ -263,7 +324,13 @@ def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
 
     S = jnp.zeros((N * D, N * D), r.dtype)
     idx = jnp.arange(N)
-    S = S.reshape(N, D, N, D).at[idx, :, idx, :].set(Hcc_d).reshape(N * D, N * D)
+    S4 = S.reshape(N, D, N, D).at[idx, :, idx, :].set(Hcc_d)
+    if prior_blocks is not None:
+        rp, Ja, Jb, ea, eb = prior_blocks
+        cross = jnp.einsum("eki,ekj->eij", Ja, Jb)  # (Ep, 9, 9)
+        S4 = S4.at[ea, :, eb, :].add(cross)
+        S4 = S4.at[eb, :, ea, :].add(jnp.swapaxes(cross, -1, -2))
+    S = S4.reshape(N * D, N * D)
     S = S - S_red
 
     v = bc.reshape(-1) - jnp.einsum("tin,ti->n", G, jnp.einsum("tij,tj->ti", Hpp_inv, bp))
@@ -302,12 +369,21 @@ def _update_scene(scene: SceneData, dc, dp) -> SceneData:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def lm_optimize(scene: SceneData, cfg: BAConfig = BAConfig(), cam_fixed: jnp.ndarray | None = None) -> BAResult:
+def lm_optimize(
+    scene: SceneData,
+    cfg: BAConfig = BAConfig(),
+    cam_fixed: jnp.ndarray | None = None,
+    priors: RelativePosePriors | None = None,
+) -> BAResult:
     """Run LM to convergence (fixed max iterations, early stop on damping).
 
     cam_fixed: optional (N,) {0,1} — cameras to freeze. Defaults to freezing
     the first live camera (gauge anchor).
+    priors: optional between-factor relative-pose priors (rig constraints,
+    lidar odometry — reference _between_factors); dense-Schur path only.
     """
+    if priors is not None and not _use_dense_schur(scene):
+        raise NotImplementedError("relative-pose priors require the dense Schur path")
     N = scene.num_cameras_padded
     if cam_fixed is None:
         first_live = jnp.argmax(scene.camera_mask > 0)
@@ -327,16 +403,29 @@ def lm_optimize(scene: SceneData, cfg: BAConfig = BAConfig(), cam_fixed: jnp.nda
         meas_mask=scene.meas_mask[order],
     )
 
-    cost0 = robust_cost(scene, cfg.huber_k, cfg.robust)
+    use_dense = _use_dense_schur(scene)
 
-    solver = _schur_solve_dense if _use_dense_schur(scene) else _schur_solve
+    def total_cost(s):
+        c = robust_cost(s, cfg.huber_k, cfg.robust)
+        if priors is not None:
+            c = c + prior_cost(s, priors)
+        return c
+
+    cost0 = total_cost(scene)
 
     def body(carry):
         scene, lam, cost, it, _ = carry
         r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
-        dc, dp = solver(r, Jc, Jp, scene, lam, cfg)
+        if use_dense:
+            pb = None
+            if priors is not None:
+                rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
+                pb = (rp, Ja, Jb, priors.edges_a, priors.edges_b)
+            dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
+        else:
+            dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)
         cand = _update_scene(scene, dc, dp)
-        new_cost = robust_cost(cand, cfg.huber_k, cfg.robust)
+        new_cost = total_cost(cand)
         accept = new_cost < cost
         scene = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, scene
