@@ -1,0 +1,179 @@
+"""Verifier variants: fundamental-matrix RANSAC (uncalibrated) and GRIC
+model selection against homographies (planar-degeneracy detection).
+
+TPU-native replacements for the reference's verifier zoo
+(gtsfm/frontend/verifier/): ``ransac.py:103`` cv2.findFundamentalMat,
+``gric_verifier.py:19`` pycolmap GRIC H-vs-F selection, and the
+degeneracy-awareness of ``degensac.py``. All reuse the hypothesis-parallel
+RANSAC engine (ops/ransac.py): fixed hypothesis budgets, masked scoring,
+LO refits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gtsfm_tpu.geometry import epipolar
+from gtsfm_tpu.ops.ransac import _sample_minimal_sets
+
+
+class FundamentalResult(NamedTuple):
+    F: jnp.ndarray  # (P, 3, 3)
+    inlier_mask: jnp.ndarray  # (P, N)
+    num_inliers: jnp.ndarray  # (P,)
+    success: jnp.ndarray  # (P,)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "lo_iterations"))
+def verify_fundamental_batched(
+    key: jax.Array,
+    uv1: jnp.ndarray,  # (P, N, 2) PIXEL coordinates
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    threshold_px: jnp.ndarray,  # Sampson threshold in pixels
+    num_hypotheses: int = 512,
+    lo_iterations: int = 2,
+    min_inliers: int = 8,
+) -> FundamentalResult:
+    """Uncalibrated two-view verification: 8-point F + Sampson scoring."""
+    P, N, _ = uv1.shape
+    thr = jnp.broadcast_to(jnp.asarray(threshold_px, uv1.dtype), (P,))
+    thr_sq = thr**2
+
+    keys = jax.random.split(key, P)
+    sidx = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, num_hypotheses, 8))(keys, mask)
+    take = lambda pts, idx: jnp.take_along_axis(
+        pts[:, None, :, :].repeat(num_hypotheses, axis=1), idx[..., None], axis=2
+    )
+    F_h = epipolar.fundamental_from_eight_point(take(uv1, sidx), take(uv2, sidx))
+    d = epipolar.sampson_distance_sq(F_h, uv1[:, None], uv2[:, None])
+    inl = (d < thr_sq[:, None, None]) & (mask[:, None, :] > 0)
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts, axis=-1)
+    w = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0].astype(uv1.dtype)
+    F = jnp.take_along_axis(F_h, best[:, None, None, None], axis=1)[:, 0]
+    c_best = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0].astype(uv1.dtype)
+
+    def lo(carry, _):
+        F_b, w_b, c_b, w_cur = carry
+        F_new = epipolar.fundamental_from_eight_point(uv1, uv2, w_cur)
+        d = epipolar.sampson_distance_sq(F_new, uv1, uv2)
+        w_new = ((d < thr_sq[:, None]) & (mask > 0)).astype(uv1.dtype)
+        c_new = jnp.sum(w_new, axis=-1)
+        better = c_new > c_b
+        F_b = jnp.where(better[:, None, None], F_new, F_b)
+        w_b = jnp.where(better[:, None], w_new, w_b)
+        c_b = jnp.where(better, c_new, c_b)
+        return (F_b, w_b, c_b, w_new), None
+
+    (F, w, c, _), _ = jax.lax.scan(lo, (F, w, c_best, w), None, length=lo_iterations)
+    return FundamentalResult(
+        F=F, inlier_mask=w, num_inliers=c, success=c >= min_inliers
+    )
+
+
+# ---------------------------------------------------------------------------
+# Homography fit + GRIC selection
+# ---------------------------------------------------------------------------
+
+
+def homography_from_four_point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None):
+    """DLT homography, batched, weighted (zero weight masks rows).
+
+    x1, x2: (..., N, 2) with N >= 4. Returns H (..., 3, 3), x2 ~ H x1.
+    """
+    if w is None:
+        w = jnp.ones(x1.shape[:-1], x1.dtype)
+    x1n, T1 = epipolar._normalize_points(x1, w)
+    x2n, T2 = epipolar._normalize_points(x2, w)
+    u, v = x1n[..., 0], x1n[..., 1]
+    up, vp = x2n[..., 0], x2n[..., 1]
+    z = jnp.zeros_like(u)
+    o = jnp.ones_like(u)
+    r1 = jnp.stack([u, v, o, z, z, z, -up * u, -up * v, -up], axis=-1)
+    r2 = jnp.stack([z, z, z, u, v, o, -vp * u, -vp * v, -vp], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # (..., 2N, 9)
+    ww = jnp.concatenate([w, w], axis=-1)
+    A = A * ww[..., None]
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    h = vecs[..., :, 0]
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    H = jnp.linalg.inv(T2) @ Hn @ T1
+    return H / jnp.maximum(jnp.abs(H[..., 2:3, 2:3]), 1e-12)
+
+
+def homography_transfer_error_sq(H, x1, x2):
+    """Forward transfer error |x2 - H x1|^2 (..., N)."""
+    p1 = epipolar.homogenize(x1)
+    Hp = jnp.einsum("...ij,...nj->...ni", H, p1)
+    z = jnp.where(jnp.abs(Hp[..., 2]) < 1e-9, 1e-9, Hp[..., 2])
+    pred = Hp[..., :2] / z[..., None]
+    return jnp.sum((pred - x2) ** 2, axis=-1)
+
+
+class GRICResult(NamedTuple):
+    prefer_fundamental: jnp.ndarray  # (P,) bool — F beats H (non-planar)
+    gric_F: jnp.ndarray
+    gric_H: jnp.ndarray
+    H: jnp.ndarray  # (P, 3, 3) best homography
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def gric_select_batched(
+    key: jax.Array,
+    uv1: jnp.ndarray,  # (P, N, 2) pixels
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    F: jnp.ndarray,  # (P, 3, 3) fitted fundamental matrices
+    sigma_px: float = 1.0,
+    num_hypotheses: int = 128,
+) -> GRICResult:
+    """Torr's GRIC comparison of F (d=3, k=7) vs H (d=2, k=8).
+
+    GRIC = sum_i rho(e_i^2 / sigma^2) + lambda1 * d * n + lambda2 * k, with
+    rho(x) = min(x, 2 (r - d)), r = 4, lambda1 = log(r), lambda2 = log(r n).
+    Lower is better; prefer_fundamental = GRIC_F < GRIC_H (pycolmap
+    gric_verifier semantics: planar/rotation-only pairs select H and are
+    treated as degenerate for E recovery).
+    """
+    P, N, _ = uv1.shape
+    n_live = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+
+    # RANSAC homography.
+    keys = jax.random.split(key, P)
+    sidx = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, num_hypotheses, 4))(keys, mask)
+    take = lambda pts, idx: jnp.take_along_axis(
+        pts[:, None, :, :].repeat(num_hypotheses, axis=1), idx[..., None], axis=2
+    )
+    H_h = homography_from_four_point(take(uv1, sidx), take(uv2, sidx))
+    e_h = homography_transfer_error_sq(H_h, uv1[:, None], uv2[:, None])
+    thr_sq = (3.0 * sigma_px) ** 2
+    counts = jnp.sum((e_h < thr_sq) & (mask[:, None, :] > 0), axis=-1)
+    best = jnp.argmax(counts, axis=-1)
+    H = jnp.take_along_axis(H_h, best[:, None, None, None], axis=1)[:, 0]
+    w_in = ((jnp.take_along_axis(e_h, best[:, None, None], axis=1)[:, 0] < thr_sq)
+            & (mask > 0)).astype(uv1.dtype)
+    H = homography_from_four_point(uv1, uv2, w_in)
+
+    r = 4.0
+    s2 = sigma_px**2
+
+    def gric(err_sq, d, k):
+        rho = jnp.minimum(err_sq / s2, 2.0 * (r - d))
+        total = jnp.sum(rho * mask, axis=-1)
+        lam1 = jnp.log(r)
+        lam2 = jnp.log(r * n_live)
+        return total + lam1 * d * n_live + lam2 * k
+
+    e_F = epipolar.sampson_distance_sq(F, uv1, uv2)
+    e_H = homography_transfer_error_sq(H, uv1, uv2)
+    gric_F = gric(e_F, d=3.0, k=7.0)
+    gric_H = gric(e_H, d=2.0, k=8.0)
+    return GRICResult(
+        prefer_fundamental=gric_F < gric_H, gric_F=gric_F, gric_H=gric_H, H=H
+    )

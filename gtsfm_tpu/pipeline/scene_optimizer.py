@@ -258,6 +258,29 @@ class SceneOptimizer:
         g.add("inlier_ratios", np.asarray(res.inlier_ratio))
         g.add("num_inliers", np.asarray(res.num_inliers))
         g.add("duration_sec", t_2view - t_feat)
+        # Per-pair reports vs GT (reference TwoViewEstimationReport + the
+        # pose_angular_error_thresh < 5 deg success criterion).
+        wRi_gt0, wti_gt0, gt_valid0 = loader.get_all_poses()
+        if gt_valid0.sum() >= 2:
+            from gtsfm_tpu.evaluation import pose_metrics
+
+            num_matches = np.asarray(jnp.sum(match_idx >= 0, axis=-1))
+            reports = pose_metrics.two_view_reports_from_results(
+                pairs, res, num_matches, wRi_gt0, wti_gt0, gt_valid0
+            )
+            r_errs = np.asarray(
+                [r.R_error_deg for r in reports.values() if r.R_error_deg is not None]
+            )
+            u_errs = np.asarray(
+                [r.U_error_deg for r in reports.values() if r.U_error_deg is not None]
+            )
+            if r_errs.size:
+                g.add("rotation_angular_errors_deg", r_errs)
+                g.add("translation_angular_errors_deg", u_errs)
+                success = (np.maximum(r_errs, u_errs) < 5.0).mean()
+                g.add("pose_success_rate_5deg", float(success))
+                for k, v in pose_metrics.pose_auc(r_errs).items():
+                    g.add(f"rotation_{k}", v)
         metrics.append(g)
         logger.info("two-view: %d/%d verified", int(ok.sum()), len(pairs))
 

@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.geometry import epipolar
+from gtsfm_tpu.ops import verifiers
+from tests.geometry.test_epipolar import make_two_view_scene
+
+
+def to_pixels(x, f=800.0, c=500.0):
+    return x * f + c
+
+
+def test_fundamental_ransac(rng):
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=150, noise=3e-4)
+    uv1 = to_pixels(x1)
+    uv2 = to_pixels(x2)
+    uv2_bad = np.asarray(uv2).copy()
+    bad = rng.choice(150, 40, replace=False)
+    uv2_bad[bad] += rng.uniform(40, 150, size=(40, 2))
+    res = verifiers.verify_fundamental_batched(
+        jax.random.PRNGKey(0), uv1[None], jnp.asarray(uv2_bad)[None],
+        jnp.ones((1, 150)), 3.0, num_hypotheses=256,
+    )
+    assert bool(res.success[0])
+    inl = np.asarray(res.inlier_mask[0])
+    assert inl[bad].mean() < 0.15
+    assert inl.sum() > 90
+    # F consistent with GT epipolar geometry on the clean points.
+    good = np.setdiff1d(np.arange(150), bad)
+    d = epipolar.sampson_distance_sq(res.F[0], uv1[good], uv2[good])
+    assert float(jnp.sqrt(d).mean()) < 1.0
+
+
+def test_homography_fit_exact(rng):
+    H_gt = jnp.asarray(
+        [[1.1, 0.05, 10.0], [-0.03, 0.95, -5.0], [1e-4, -2e-4, 1.0]], jnp.float32
+    )
+    x1 = jnp.asarray(rng.uniform(0, 500, size=(30, 2)), jnp.float32)
+    p = epipolar.homogenize(x1) @ H_gt.T
+    x2 = p[:, :2] / p[:, 2:3]
+    H = verifiers.homography_from_four_point(x1, x2)
+    err = verifiers.homography_transfer_error_sq(H, x1, x2)
+    assert float(jnp.sqrt(err).max()) < 0.1
+
+
+def test_gric_prefers_F_for_general_scene(rng):
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=200, noise=3e-4)
+    uv1, uv2 = to_pixels(x1), to_pixels(x2)
+    res_f = verifiers.verify_fundamental_batched(
+        jax.random.PRNGKey(0), uv1[None], uv2[None], jnp.ones((1, 200)), 3.0,
+        num_hypotheses=256,
+    )
+    g = verifiers.gric_select_batched(
+        jax.random.PRNGKey(1), uv1[None], uv2[None], jnp.ones((1, 200)), res_f.F
+    )
+    assert bool(g.prefer_fundamental[0])
+
+
+def test_gric_prefers_H_for_planar_scene(rng):
+    """All points on a plane: homography explains the data, F is degenerate."""
+    from gtsfm_tpu.geometry import lie
+
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.05, -0.1, 0.02])))
+    t = np.asarray([0.4, 0.1, 0.05])
+    n_pts = 200
+    # Points on plane z = 5 in frame 1.
+    X1 = np.stack([
+        np.random.default_rng(1).uniform(-2, 2, n_pts),
+        np.random.default_rng(2).uniform(-2, 2, n_pts),
+        np.full(n_pts, 5.0),
+    ], -1).astype(np.float32)
+    X2 = X1 @ R.T + t
+    x1 = X1[:, :2] / X1[:, 2:3]
+    x2 = X2[:, :2] / X2[:, 2:3]
+    uv1, uv2 = to_pixels(jnp.asarray(x1)), to_pixels(jnp.asarray(x2))
+    res_f = verifiers.verify_fundamental_batched(
+        jax.random.PRNGKey(0), uv1[None], uv2[None], jnp.ones((1, n_pts)), 3.0,
+        num_hypotheses=256,
+    )
+    g = verifiers.gric_select_batched(
+        jax.random.PRNGKey(1), uv1[None], uv2[None], jnp.ones((1, n_pts)), res_f.F
+    )
+    assert not bool(g.prefer_fundamental[0])
