@@ -263,6 +263,35 @@ def _recover_translations_gn(
     return t
 
 
+MAX_TRACK_MEASUREMENTS_PER_CAMERA = 12  # reference averaging_1dsfm.py:56-58
+MIN_TRACK_LEN_FOR_AVERAGING = 3
+
+
+def select_tracks_for_averaging(
+    cam_idx: np.ndarray,  # (T, L) int, per-track measurement cameras
+    track_mask: np.ndarray,  # (T, L) validity
+    num_images: int,
+    meas_per_camera: int = MAX_TRACK_MEASUREMENTS_PER_CAMERA,
+) -> np.ndarray:
+    """Greedy cover (reference _select_tracks_for_averaging :273): pick long
+    tracks until every camera is covered by ~meas_per_camera track
+    measurements. Returns selected track indices."""
+    lengths = track_mask.sum(-1)
+    order = np.argsort(-lengths)
+    need = np.full(num_images, meas_per_camera, np.int64)
+    selected = []
+    for t in order:
+        if lengths[t] < MIN_TRACK_LEN_FOR_AVERAGING:
+            break
+        cams = cam_idx[t][track_mask[t] > 0]
+        if np.any(need[cams] > 0):
+            selected.append(t)
+            need[cams] -= 1
+        if not np.any(need > 0):
+            break
+    return np.asarray(selected, np.int64)
+
+
 def run_translation_averaging(
     num_images: int,
     edges: np.ndarray,  # (E, 2) (i1, i2)
@@ -270,8 +299,17 @@ def run_translation_averaging(
     wRi: np.ndarray,  # (n, 3, 3) global rotations
     num_projections: int = 512,
     seed: int = 0,
+    track_cam_idx: np.ndarray | None = None,  # (T, L) optional track cams
+    track_rays: np.ndarray | None = None,  # (T, L, 3) unit rays in CAMERA frame
+    track_mask: np.ndarray | None = None,  # (T, L)
 ) -> TranslationResult:
-    """Full 1dSFM: lift to world, MFAS inliers, robust recovery."""
+    """Full 1dSFM: lift to world, MFAS inliers, robust recovery.
+
+    When tracks are supplied, selected camera->landmark direction measurements
+    join the recovery problem with landmarks as extra unknowns (reference
+    averaging_1dsfm.py: track measurements added to TranslationRecovery) —
+    they stiffen weakly-connected camera graphs.
+    """
     E = edges.shape[0]
     n = num_images
     # Lift: w_i2Ui1 = wRi2 @ i2Ui1 — direction from camera i2 toward camera i1
@@ -312,12 +350,46 @@ def run_translation_averaging(
                     stack.append(nb)
     t0 = jnp.asarray(t0_np)
 
+    # Optional camera->landmark measurements (selected tracks as extra nodes).
+    n_total = n
+    extra_a, extra_b, extra_u = [], [], []
+    if track_cam_idx is not None and track_rays is not None and track_mask is not None:
+        sel = select_tracks_for_averaging(track_cam_idx, track_mask, n)
+        for s_i, t_idx in enumerate(sel):
+            node = n + s_i
+            live = np.nonzero(track_mask[t_idx] > 0)[0]
+            for l in live:
+                cam = int(track_cam_idx[t_idx, l])
+                w_dir = np.asarray(wRi)[cam] @ track_rays[t_idx, l]
+                nrm = np.linalg.norm(w_dir)
+                if nrm < 1e-9:
+                    continue
+                extra_a.append(cam)
+                extra_b.append(node)
+                extra_u.append((w_dir / nrm).astype(np.float32))
+        n_total = n + len(sel)
+        if extra_a:
+            t0_np2 = np.zeros((n_total, 3), np.float32)
+            t0_np2[:n] = np.asarray(t0)
+            # Init landmarks one unit along their first observing ray.
+            for a, b, u_ in zip(extra_a, extra_b, extra_u):
+                if np.allclose(t0_np2[b], 0):
+                    t0_np2[b] = t0_np2[a] + u_
+            t0 = jnp.asarray(t0_np2)
+
     # Edge direction from i2 (a) to i1 (b): u_meas = w_dirs with a=i2, b=i1.
-    ea = jnp.asarray(edges[:, 1], jnp.int32)
-    eb = jnp.asarray(edges[:, 0], jnp.int32)
-    u = jnp.asarray(w_dirs, jnp.float32)
-    w_in = jnp.asarray(inliers, jnp.float32)
-    t = _recover_translations_gn(ea, eb, u, w_in, t0, num_nodes=n, iters=150)
+    ea_np = np.concatenate([edges[:, 1], np.asarray(extra_a, np.int64)]).astype(np.int32)
+    eb_np = np.concatenate([edges[:, 0], np.asarray(extra_b, np.int64)]).astype(np.int32)
+    u_np = np.concatenate(
+        [w_dirs.astype(np.float32)]
+        + ([np.stack(extra_u)] if extra_u else [])
+    )
+    w_np = np.concatenate([inliers.astype(np.float32), np.ones(len(extra_a), np.float32)])
+    ea = jnp.asarray(ea_np)
+    eb = jnp.asarray(eb_np)
+    u = jnp.asarray(u_np)
+    w_in = jnp.asarray(w_np)
+    t = _recover_translations_gn(ea, eb, u, w_in, t0, num_nodes=n_total, iters=150)
 
     # Second rejection pass: MFAS false negatives show up as gross direction
     # residuals after recovery — drop edges off by > 15 degrees and re-polish
@@ -329,10 +401,12 @@ def run_translation_averaging(
     valid = np.zeros(n, bool)
     valid[edges[inliers, 0]] = True
     valid[edges[inliers, 1]] = True
-    t = _recover_translations_gn(
-        ea, eb, u, jnp.asarray(inliers, jnp.float32), t,
-        num_nodes=n, iters=20, gn_iters=15,
+    w2 = jnp.asarray(
+        np.concatenate([inliers.astype(np.float32), np.ones(len(extra_a), np.float32)])
     )
-    t = np.asarray(t)
+    t = _recover_translations_gn(
+        ea, eb, u, w2, t, num_nodes=n_total, iters=20, gn_iters=15,
+    )
+    t = np.asarray(t)[:n]
     t = t - t[valid].mean(0, keepdims=True) if valid.any() else t
     return TranslationResult(wti=t, valid=valid, inlier_edges=inliers)

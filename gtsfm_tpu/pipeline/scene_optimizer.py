@@ -202,13 +202,36 @@ class SceneOptimizer:
         x1n = cameras.normalize_keypoints(K1[:, None], x1)
         x2n = cameras.normalize_keypoints(K2[:, None], x2)
         f_mean = jnp.asarray([(cals[a][0] + cals[b][0]) / 2.0 for a, b in pairs])
-        res = ransac.verify_essential_batched(
-            jax.random.PRNGKey(self.config.seed), x1n, x2n, cm,
-            threshold=tv.estimation_threshold_px / f_mean,
-            num_hypotheses=tv.num_hypotheses,
-            min_inliers=tv.min_inliers,
-            min_inlier_ratio=tv.min_inlier_ratio,
-        )
+        n_dev = jax.device_count()
+        if n_dev > 1 and len(pairs) >= n_dev:
+            # Multi-chip: shard the pairs axis over the device mesh (the
+            # reference's per-pair Dask fan-out, as SPMD). Pad to mesh size.
+            from gtsfm_tpu.parallel import distributed, make_mesh
+
+            P_real = x1n.shape[0]
+            P_pad = ((P_real + n_dev - 1) // n_dev) * n_dev
+            pad = P_pad - P_real
+
+            def padp(t):
+                return jnp.concatenate([t, jnp.zeros((pad,) + t.shape[1:], t.dtype)])
+
+            mesh = make_mesh()
+            res = distributed.pair_sharded_verify(
+                mesh, jax.random.PRNGKey(self.config.seed),
+                padp(x1n), padp(x2n), padp(cm),
+                padp(tv.estimation_threshold_px / f_mean),
+                num_hypotheses=tv.num_hypotheses,
+            )
+            res = jax.tree_util.tree_map(lambda t: t[:P_real], res)
+            logger.info("two-view sharded over %d devices", n_dev)
+        else:
+            res = ransac.verify_essential_batched(
+                jax.random.PRNGKey(self.config.seed), x1n, x2n, cm,
+                threshold=tv.estimation_threshold_px / f_mean,
+                num_hypotheses=tv.num_hypotheses,
+                min_inliers=tv.min_inliers,
+                min_inlier_ratio=tv.min_inlier_ratio,
+            )
 
         if tv.ba_enabled:
             from gtsfm_tpu.twoview import estimator as tv_est
@@ -310,17 +333,10 @@ class SceneOptimizer:
         )
         metrics.append(g)
 
-        res_t = ta.run_translation_averaging(
-            n, edges, i2Ui1, wRi_est,
-            num_projections=cfg.multi_view.num_mfas_projections, seed=cfg.seed,
-        )
-        wti_est = res_t.wti.astype(np.float32)
-        g = MetricsGroup("translation_averaging_metrics")
-        g.add("num_inlier_edges", int(res_t.inlier_edges.sum()))
-        g.add("num_total_edges", len(edges))
-        metrics.append(g)
-
-        # Tracks from verified inlier matches (kept view-graph edges only).
+        # Tracks from verified inlier matches (kept view-graph edges only) —
+        # formed BEFORE translation averaging so selected tracks contribute
+        # camera->landmark direction measurements (reference
+        # multi_view_optimizer.py:130 stage order).
         match_dict = {}
         pair_ok = [p for k, p in enumerate(pairs) if ok[k]]
         inlier_masks = np.asarray(res.inlier_mask)[ok]
@@ -345,11 +361,43 @@ class SceneOptimizer:
         if not trks:
             raise RuntimeError("no tracks formed")
 
+        # Padded per-track arrays + camera-frame unit rays for 1dSFM.
+        max_len = max(len(t) for t in trks)
+        T_n = len(trks)
+        tr_cam = np.zeros((T_n, max_len), np.int64)
+        tr_uv = np.zeros((T_n, max_len, 2), np.float32)
+        tr_mask = np.zeros((T_n, max_len), np.float32)
+        for j, tr in enumerate(meas_tracks):
+            for l, (ci, uv_) in enumerate(tr[:max_len]):
+                tr_cam[j, l] = ci
+                tr_uv[j, l] = uv_
+                tr_mask[j, l] = 1.0
+        cal_per = cals[tr_cam.reshape(-1)].reshape(T_n, max_len, 5)
+        xn = np.asarray(
+            cameras.bundler_calibrate(jnp.asarray(cal_per), jnp.asarray(tr_uv))
+        )
+        rays = np.concatenate([xn, np.ones((T_n, max_len, 1), np.float32)], -1)
+        rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+
+        res_t = ta.run_translation_averaging(
+            n, edges, i2Ui1, wRi_est,
+            num_projections=cfg.multi_view.num_mfas_projections, seed=cfg.seed,
+            track_cam_idx=tr_cam, track_rays=rays, track_mask=tr_mask,
+        )
+        wti_est = res_t.wti.astype(np.float32)
+        g = MetricsGroup("translation_averaging_metrics")
+        g.add("num_inlier_edges", int(res_t.inlier_edges.sum()))
+        g.add("num_total_edges", len(edges))
+        metrics.append(g)
+
         # Triangulate with averaged poses (RANSAC over measurement pairs +
         # exit codes, reference point3d_initializer semantics).
         sc = scene_mod.make_scene(np.asarray(wRi_est), wti_est, cals, meas_tracks)
-        max_len = max(len(t) for t in trks)
-        cam_idx, uv_t, mask_t = scene_mod.tracks_to_padded(sc, max_track_len=max_len)
+        T_pad = sc.num_tracks_padded
+        pad_rows = T_pad - tr_cam.shape[0]
+        cam_idx = np.pad(tr_cam, ((0, pad_rows), (0, 0))).astype(np.int32)
+        uv_t = np.pad(tr_uv, ((0, pad_rows), (0, 0), (0, 0)))
+        mask_t = np.pad(tr_mask, ((0, pad_rows), (0, 0)))
         tri = data_association.triangulate_tracks_robust(
             jnp.asarray(np.asarray(wRi_est)), jnp.asarray(wti_est), jnp.asarray(cals),
             jnp.asarray(cam_idx), jnp.asarray(uv_t), jnp.asarray(mask_t),

@@ -60,3 +60,43 @@ def test_mfas_weights_low_on_clean():
     w_dirs = np.einsum("eij,ej->ei", wRi[edges[:, 1]], i2Ui1)
     w = ta.mfas_outlier_weights(edges, w_dirs, 8, num_projections=128)
     assert w.max() < ta.OUTLIER_WEIGHT_THRESHOLD
+
+
+def test_track_measurements_improve_chain_graph(rng):
+    """A bare chain (spanning tree, no redundancy) is floppy; camera->landmark
+    track measurements must stiffen it."""
+    import jax.numpy as jnp
+
+    wRi, wti = circle_poses(8)
+    edges = all_pairs_edges(8, max_gap=1)  # chain only
+    _, i2Ui1 = relative_measurements(wRi, wti, edges, dir_noise_deg=3.0, rng=rng)
+
+    # Synthetic landmarks observed by several cameras -> rays in camera frame.
+    X = np.stack([
+        rng.uniform(-2, 2, 30), rng.uniform(-2, 2, 30), rng.uniform(-2, 2, 30)
+    ], -1).astype(np.float32)
+    T, L = 30, 8
+    cam_idx = np.tile(np.arange(L, dtype=np.int64)[None], (T, 1))
+    mask = np.ones((T, L), np.float32)
+    rays = np.zeros((T, L, 3), np.float32)
+    for t_i in range(T):
+        for c in range(L):
+            d_w = X[t_i] - wti[c]
+            rays[t_i, c] = wRi[c].T @ (d_w / np.linalg.norm(d_w))
+
+    res_plain = ta.run_translation_averaging(8, edges, i2Ui1, wRi, num_projections=64)
+    res_tracks = ta.run_translation_averaging(
+        8, edges, i2Ui1, wRi, num_projections=64,
+        track_cam_idx=cam_idx, track_rays=rays, track_mask=mask,
+    )
+
+    def max_err(t_est):
+        from gtsfm_tpu.geometry import alignment
+        s, R, tr = alignment.umeyama_sim3(
+            jnp.asarray(t_est, jnp.float32), jnp.asarray(wti, jnp.float32))
+        aligned = float(s) * t_est @ np.asarray(R).T + np.asarray(tr)
+        return np.abs(aligned - wti).max()
+
+    e_plain, e_tracks = max_err(res_plain.wti), max_err(res_tracks.wti)
+    assert e_tracks < e_plain * 0.8 or e_tracks < 0.15
+    assert res_tracks.wti.shape == (8, 3)
