@@ -69,6 +69,43 @@ def pair_sharded_verify(
     return run(keys, x1, x2, mask, thr)
 
 
+def distributed_lm_optimize(
+    mesh: Mesh,
+    scene: SceneData,
+    cfg: ba.BAConfig = ba.BAConfig(),
+) -> tuple[SceneData, dict]:
+    """Full distributed LM loop: each iteration is one psum-Schur GN step
+    (measurement-sharded) with host-side damping/acceptance — the distributed
+    analog of bundle/ba.lm_optimize for problems whose measurements exceed one
+    chip. Cost evaluation is replicated (cameras/points are small).
+
+    Returns (optimized scene, stats dict).
+    """
+    lam = cfg.lambda_init
+    cost = float(ba.robust_cost(scene, cfg.huber_k, cfg.robust))
+    cost0 = cost
+    accepted = 0
+    for it in range(cfg.max_iterations):
+        cand = distributed_ba_gn_step(mesh, scene, lam=lam, cfg=cfg)
+        new_cost = float(ba.robust_cost(cand, cfg.huber_k, cfg.robust))
+        if new_cost < cost:
+            scene = cand
+            rel = (cost - new_cost) / max(cost, 1e-12)
+            cost = new_cost
+            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
+            accepted += 1
+            if rel < 1e-6:
+                break
+        else:
+            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
+            if lam >= cfg.lambda_max:
+                break
+    return scene, {
+        "initial_cost": cost0, "final_cost": cost,
+        "iterations": it + 1, "accepted": accepted,
+    }
+
+
 def distributed_ba_gn_step(
     mesh: Mesh, scene: SceneData, lam: float = 1e-4, cfg: ba.BAConfig = ba.BAConfig()
 ) -> SceneData:

@@ -75,6 +75,10 @@ class PipelineConfig:
     cache_dir: str = "cache"
     enable_cache: bool = True
     seed: int = 0
+    # jax.profiler trace output dir (Perfetto/TensorBoard); None disables.
+    # TPU analog of the reference's dask performance_report HTMLs
+    # (gtsfm_runner_base.py:305).
+    profile_dir: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)

@@ -254,6 +254,15 @@ class SceneOptimizer:
         return res, idx
 
     def run(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
+        if self.config.profile_dir:
+            import contextlib
+
+            with contextlib.ExitStack() as stack:
+                stack.enter_context(jax.profiler.trace(self.config.profile_dir))
+                return self._run_impl(loader, save_outputs)
+        return self._run_impl(loader, save_outputs)
+
+    def _run_impl(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
         cfg = self.config
         t0 = time.time()
         metrics: list[MetricsGroup] = []

@@ -71,3 +71,20 @@ def test_distributed_ba_step_reduces_cost(rng):
     sc1 = distributed.distributed_ba_gn_step(mesh, sc0)
     c1 = float(ba.robust_cost(sc1, 1.345))
     assert c1 < 0.5 * c0
+
+
+def test_distributed_lm_converges(rng):
+    """Full distributed LM loop must reach the same quality as single-device."""
+    from gtsfm_tpu.geometry import alignment
+
+    mesh = distributed.make_mesh()
+    sc_gt, (wRi, wti, X) = make_ba_problem(rng, n_cams=4, n_tracks=40, pixel_noise=0.3)
+    sc0 = perturb(rng, sc_gt, rot_deg=2.0, trans=0.08, pt=0.08)
+    final, stats = distributed.distributed_lm_optimize(
+        mesh, sc0, ba.BAConfig(max_iterations=25)
+    )
+    assert stats["final_cost"] < 0.05 * stats["initial_cost"]
+    assert alignment.compare_global_poses(
+        final.wRi, final.wti, jnp.asarray(wRi), jnp.asarray(wti),
+        rot_err_thresh_deg=1.0, trans_err_atol=0.1, trans_err_rtol=0.05,
+    )
