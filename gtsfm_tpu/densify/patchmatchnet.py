@@ -1,0 +1,318 @@
+"""PatchmatchNet (learned multi-scale patchmatch MVS) in Flax.
+
+TPU-native port of the reference's densify engine
+(thirdparty/patchmatchnet/models/{net,patchmatch,module}.py, wrapped by
+gtsfm/densify/mvs_patchmatchnet.py:55). Architecture follows the original:
+
+  FeatureNet        FPN over 4 scales, channels (8, 16, 32, 64), 1x1 output
+                    heads -> stage features with 64/32/16 channels (net.py:15).
+  PatchMatch x3     coarse-to-fine (stage 3 -> 1), iterations (1, 2, 2),
+                    inverse-depth sample counts (48 init; 16/8/8 local):
+                      - random initialization at the coarsest stage
+                      - local perturbation sampling (interval_scale
+                        0.025/0.0125/0.005)
+                      - propagation: neighbor depth hypotheses from a dilated
+                        grid (adaptive offsets are a learned conv in the
+                        original; this port uses the fixed dilated grid — the
+                        documented deviation, see NOTE below)
+                      - evaluation: differentiable homography warping of src
+                        features per depth sample, group-wise correlation
+                        (G = 4/8/8), pixel-wise view weights (PixelwiseNet),
+                        SimilarityNet conv stack -> score volume -> softmax
+                        depth regression
+  Refinement        image-guided residual upsampling to full resolution
+                    (net.py:78).
+
+NOTE deviations from the original (kept minimal, each flagged):
+  * adaptive propagation/evaluation offsets (deformable gathers) are replaced
+    by the fixed dilated neighbor grid they are initialized to — the learned
+    offset convs exist in the checkpoint but contribute refinements, not the
+    core behavior; exact porting is planned with weight validation.
+  * batch norm is folded (eval mode) into convs at conversion time; the Flax
+    graph is conv -> relu.
+
+All shapes static; vmapped over source views; NHWC layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBnReLU(nn.Module):
+    ch: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.ch, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding="SAME", use_bias=True, name="conv",
+        )(x)
+        return nn.relu(x)
+
+
+class FeatureNet(nn.Module):
+    """FPN feature extractor (net.py:15): stage_3 (H/8, 64ch),
+    stage_2 (H/4, 32ch), stage_1 (H/2, 16ch)."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3)
+        c1 = ConvBnReLU(8, name="conv1")(ConvBnReLU(8, name="conv0")(x))
+        c4 = ConvBnReLU(16, name="conv4")(
+            ConvBnReLU(16, name="conv3")(ConvBnReLU(16, 5, 2, name="conv2")(c1))
+        )
+        c7 = ConvBnReLU(32, name="conv7")(
+            ConvBnReLU(32, name="conv6")(ConvBnReLU(32, 5, 2, name="conv5")(c4))
+        )
+        c10 = ConvBnReLU(64, name="conv10")(
+            ConvBnReLU(64, name="conv9")(ConvBnReLU(64, 5, 2, name="conv8")(c7))
+        )
+        out3 = nn.Conv(64, (1, 1), use_bias=False, name="output1")(c10)
+
+        def up2(t):
+            B, H, W, C = t.shape
+            return jax.image.resize(t, (B, 2 * H, 2 * W, C), "bilinear")
+
+        intra = up2(c10) + nn.Conv(64, (1, 1), name="inner1")(c7)
+        out2 = nn.Conv(32, (1, 1), use_bias=False, name="output2")(intra)
+        intra = up2(intra) + nn.Conv(64, (1, 1), name="inner2")(c4)
+        out1 = nn.Conv(16, (1, 1), use_bias=False, name="output3")(intra)
+        return {"stage_3": out3, "stage_2": out2, "stage_1": out1}
+
+
+def bilinear_sample_nhwc(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """img (H, W, C); u, v (...,) pixel coords -> (..., C), zeros out of range."""
+    H, W, C = img.shape
+    inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    u = jnp.clip(u, 0.0, W - 1.001)
+    v = jnp.clip(v, 0.0, H - 1.001)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - x0)[..., None]
+    fv = (v - y0)[..., None]
+    val = (
+        img[y0, x0] * (1 - fv) * (1 - fu)
+        + img[y0, x0 + 1] * (1 - fv) * fu
+        + img[y0 + 1, x0] * fv * (1 - fu)
+        + img[y0 + 1, x0 + 1] * fv * fu
+    )
+    return val * inb[..., None]
+
+
+def warp_src_feature(
+    src_feat: jnp.ndarray,  # (H, W, C)
+    K_ref: jnp.ndarray, K_src: jnp.ndarray,  # (3, 3) stage-scaled intrinsics
+    sRr: jnp.ndarray, str_: jnp.ndarray,  # src_T_ref
+    depths: jnp.ndarray,  # (D, H, W) depth hypotheses per ref pixel
+) -> jnp.ndarray:
+    """Differentiable homography warping (patchmatch.py differentiable_warping):
+    returns (D, H, W, C) src features sampled at each ref-pixel hypothesis."""
+    H, W = depths.shape[1:]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1)  # (H, W, 3)
+    rays = jnp.einsum("ij,hwj->hwi", jnp.linalg.inv(K_ref), pix)
+
+    def one_depth(d):
+        X = rays * d[..., None]  # ref cam frame
+        Xs = jnp.einsum("ij,hwj->hwi", sRr, X) + str_
+        z = jnp.maximum(Xs[..., 2], 1e-6)
+        uv = jnp.einsum("ij,hwj->hwi", K_src, Xs / z[..., None])
+        return bilinear_sample_nhwc(src_feat, uv[..., 0], uv[..., 1])
+
+    return jax.vmap(one_depth)(depths)
+
+
+class PixelwiseNet(nn.Module):
+    """View-weight net (patchmatch.py:945): conv over the group-correlation
+    volume -> sigmoid -> max over depth samples -> per-pixel view weight."""
+
+    @nn.compact
+    def __call__(self, corr):  # (D, H, W, G)
+        x = ConvBnReLU(16, 1, name="conv0")(corr)
+        x = ConvBnReLU(8, 1, name="conv1")(x)
+        x = nn.Conv(1, (1, 1), name="conv2")(x)
+        x = jax.nn.sigmoid(x)  # (D, H, W, 1)
+        return jnp.max(x, axis=0)  # (H, W, 1)
+
+
+class SimilarityNet(nn.Module):
+    """Score head over the aggregated correlation volume (patchmatch.py:793;
+    the adaptive spatial gather is replaced by SAME 3x3 convs — see module
+    docstring NOTE)."""
+
+    @nn.compact
+    def __call__(self, corr):  # (D, H, W, G)
+        x = ConvBnReLU(16, 1, name="conv0")(corr)
+        x = ConvBnReLU(8, 3, name="conv1")(x)
+        x = nn.Conv(1, (3, 3), name="similarity")(x)
+        return x[..., 0]  # (D, H, W)
+
+
+def propagation_hypotheses(depth: jnp.ndarray, dilation: int, num_neighbors: int):
+    """Neighbor depth hypotheses from the fixed dilated grid
+    (patchmatch.py Propagation; adaptive offsets deviation noted above).
+
+    depth: (H, W) -> (num_neighbors, H, W)."""
+    offsets8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    offsets16 = offsets8 + [(-2, 0), (2, 0), (0, -2), (0, 2), (-2, -2), (-2, 2), (2, -2), (2, 2)]
+    offs = (offsets8 if num_neighbors <= 8 else offsets16)[:num_neighbors]
+    outs = []
+    for dy, dx in offs:
+        outs.append(
+            jnp.roll(depth, (dy * dilation, dx * dilation), axis=(0, 1))
+        )
+    return jnp.stack(outs)
+
+
+class PatchMatchStage(nn.Module):
+    """One coarse-to-fine stage: sampling + evaluation iterations."""
+
+    G: int
+    num_sample_init: int
+    num_sample_local: int
+    interval_scale: float
+    iterations: int
+    propagate_neighbors: int
+    propagation_dilation: int
+    random_init: bool
+
+    @nn.compact
+    def __call__(self, ref_feat, src_feats, K_ref, K_srcs, sRr, str_,
+                 inv_d_min, inv_d_max, depth_init, rng_seed=0):
+        """ref_feat (H, W, C); src_feats (S, H, W, C); depth_init (H, W) or
+        None at the coarsest stage. Returns (depth (H, W), score (H, W))."""
+        H, W, C = ref_feat.shape
+        S = src_feats.shape[0]
+        pixelwise = PixelwiseNet(name="pixelwise")
+        similarity = SimilarityNet(name="similarity")
+
+        view_w = None
+        depth = depth_init
+
+        for it in range(self.iterations):
+            # --- depth sample generation
+            if depth is None:
+                D = self.num_sample_init
+                # Stratified random inverse-depth (DepthInitialization :31).
+                key = jax.random.PRNGKey(rng_seed)
+                u = jax.random.uniform(key, (D, H, W))
+                lev = (jnp.arange(D, dtype=jnp.float32) / D)[:, None, None]
+                inv_d = inv_d_min + (lev + u / D) * (inv_d_max - inv_d_min)
+                samples = 1.0 / jnp.maximum(inv_d, 1e-9)
+            else:
+                # Local perturbation around current depth + propagation.
+                Dl = self.num_sample_local
+                lev = jnp.linspace(-1.0, 1.0, Dl)[:, None, None]
+                inv_cur = 1.0 / jnp.maximum(depth, 1e-9)
+                inv_pert = inv_cur[None] + lev * self.interval_scale * (inv_d_max - inv_d_min)
+                inv_pert = jnp.clip(inv_pert, inv_d_min, inv_d_max)
+                samples = 1.0 / jnp.maximum(inv_pert, 1e-9)
+                if self.propagate_neighbors > 0:
+                    prop = propagation_hypotheses(
+                        depth, self.propagation_dilation, self.propagate_neighbors
+                    )
+                    samples = jnp.concatenate([samples, prop], axis=0)
+
+            D = samples.shape[0]
+
+            # --- evaluation: group correlation against each src view
+            def corr_one_src(sf, Ks, R, t):
+                warped = warp_src_feature(sf, K_ref, Ks, R, t, samples)  # (D, H, W, C)
+                ref_g = ref_feat.reshape(H, W, self.G, C // self.G)
+                war_g = warped.reshape(D, H, W, self.G, C // self.G)
+                return jnp.mean(war_g * ref_g[None], axis=-1)  # (D, H, W, G)
+
+            corrs = jax.vmap(corr_one_src)(src_feats, K_srcs, sRr, str_)  # (S, D, H, W, G)
+
+            if view_w is None:
+                view_w = jax.vmap(pixelwise)(corrs)  # (S, H, W, 1)
+            wsum = jnp.sum(view_w, axis=0) + 1e-6  # (H, W, 1)
+            agg = jnp.sum(corrs * view_w[:, None], axis=0) / wsum[None]  # (D, H, W, G)
+
+            score = similarity(agg)  # (D, H, W)
+            prob = jax.nn.softmax(score, axis=0)
+            depth = jnp.sum(prob * samples, axis=0)  # regression (H, W)
+
+        conf = jnp.max(jax.nn.softmax(score, axis=0), axis=0)
+        return depth, conf
+
+
+class Refinement(nn.Module):
+    """Image-guided depth refinement at full resolution (net.py:78)."""
+
+    @nn.compact
+    def __call__(self, image, depth, d_min, d_max):  # image (H, W, 3), depth (H/2, W/2)
+        H, W = image.shape[:2]
+        dn = (depth - d_min) / jnp.maximum(d_max - d_min, 1e-9)
+        dn_up = jax.image.resize(dn[..., None], (H, W, 1), "bilinear")
+        img_f = ConvBnReLU(8, name="conv0")(image[None])[0]
+        d_f = ConvBnReLU(8, name="conv1")(dn_up[None])[0]
+        x = jnp.concatenate([img_f, d_f], axis=-1)
+        x = ConvBnReLU(8, name="conv2")(x[None])[0]
+        res = nn.Conv(1, (3, 3), name="res")(x[None])[0, ..., 0]
+        dn_ref = jnp.clip(dn_up[..., 0] + res, 0.0, 1.0)
+        return dn_ref * (d_max - d_min) + d_min
+
+
+class PatchmatchNet(nn.Module):
+    """Full coarse-to-fine model. Call with one reference view + S sources."""
+
+    @nn.compact
+    def __call__(self, ref_img, src_imgs, K_ref, K_srcs, sRr, str_, d_min, d_max):
+        """ref_img (H, W, 3) in [0,1] (H, W divisible by 8); src_imgs
+        (S, H, W, 3). K at full resolution. Returns (depth (H, W), conf)."""
+        feat = FeatureNet(name="feature")
+        ref_feats = feat(ref_img[None])
+        src_feats = feat(src_imgs)
+
+        inv_min = 1.0 / d_max
+        inv_max = 1.0 / d_min
+
+        def scale_K(K, s):
+            return jnp.asarray(
+                [[K[0, 0] * s, 0.0, K[0, 2] * s],
+                 [0.0, K[1, 1] * s, K[1, 2] * s],
+                 [0.0, 0.0, 1.0]]
+            )
+
+        stage_cfg = {
+            3: dict(G=8, num_sample_init=48, num_sample_local=16,
+                    interval_scale=0.025, iterations=1, propagate_neighbors=0,
+                    propagation_dilation=2, random_init=True),
+            2: dict(G=8, num_sample_init=0, num_sample_local=8,
+                    interval_scale=0.0125, iterations=2, propagate_neighbors=8,
+                    propagation_dilation=4, random_init=False),
+            1: dict(G=4, num_sample_init=0, num_sample_local=8,
+                    interval_scale=0.005, iterations=2, propagate_neighbors=16,
+                    propagation_dilation=6, random_init=False),
+        }
+
+        depth = None
+        conf = None
+        for stage in (3, 2, 1):
+            s = 0.5**stage
+            cfg = stage_cfg[stage]
+            rf = ref_feats[f"stage_{stage}"][0]
+            sf = src_feats[f"stage_{stage}"]
+            Kr = scale_K(K_ref, s)
+            Ks = jax.vmap(lambda K: scale_K(K, s))(K_srcs)
+            if depth is not None:
+                H_s, W_s = rf.shape[:2]
+                depth = jax.image.resize(depth[..., None], (H_s, W_s, 1), "bilinear")[..., 0]
+            pm = PatchMatchStage(**cfg, name=f"patchmatch_{stage}")
+            depth, conf = pm(rf, sf, Kr, Ks, sRr, str_, inv_min, inv_max, depth)
+
+        depth = Refinement(name="refinement")(ref_img, depth, d_min, d_max)
+        H, W = ref_img.shape[:2]
+        conf_full = jax.image.resize(conf[..., None], (H, W, 1), "bilinear")[..., 0]
+        return depth, conf_full
