@@ -54,6 +54,10 @@ class BAConfig(NamedTuple):
     huber_k: float = 1.345  # px (reference: Huber(1.345), sigma 1px)
     robust: bool = True
     optimize_calibration: bool = False
+    # One (f, k1, k2) shared by all cameras (reference --share_intrinsics):
+    # solved as an exact 3x3 coordinate-descent step after each accepted LM
+    # step (poses/points fixed), applied uniformly.
+    share_calibration: bool = False
     pcg_iterations: int = 30
     pcg_tol: float = 1e-6
     lambda_init: float = 1e-4
@@ -361,6 +365,34 @@ def _use_dense_schur(scene: SceneData) -> bool:
     return N <= _DENSE_SCHUR_MAX_CAMERAS and T * N <= _DENSE_SCHUR_MAX_GRID
 
 
+def _shared_calibration_step(scene: SceneData, cfg: BAConfig) -> SceneData:
+    """Exact GN step on ONE shared (f, k1, k2) with poses/points fixed."""
+
+    def res_one(dk, wRi, wti, cal, X, uv):
+        cal2 = cal + jnp.concatenate([dk, jnp.zeros(2, dk.dtype)])
+        pred, _ = cam_mod.project_bundler(wRi, wti, cal2, X)
+        return pred - uv
+
+    jac_one = jax.jacfwd(res_one)
+    wRi = scene.wRi[scene.meas_cam]
+    wti = scene.wti[scene.meas_cam]
+    cal = scene.cal[scene.meas_cam]
+    X = scene.points[scene.meas_track]
+    z = jnp.zeros((scene.meas_cam.shape[0], 3), scene.meas_uv.dtype)
+    r = jax.vmap(res_one)(z, wRi, wti, cal, X, scene.meas_uv)
+    J = jax.vmap(jac_one)(z, wRi, wti, cal, X, scene.meas_uv)  # (M, 2, 3)
+    e = jnp.linalg.norm(r, axis=-1)
+    w = jnp.minimum(1.0, cfg.huber_k / jnp.maximum(e, 1e-12)) if cfg.robust else jnp.ones_like(e)
+    w = w * scene.meas_mask * scene.track_mask[scene.meas_track]
+    sw = jnp.sqrt(w)[:, None]
+    rw = (r * sw).reshape(-1)
+    Jw = (J * sw[..., None]).reshape(-1, 3)
+    H = Jw.T @ Jw + 1e-6 * jnp.eye(3)
+    dk = -jnp.linalg.solve(H, Jw.T @ rw)
+    dcal = jnp.concatenate([dk, jnp.zeros(2, dk.dtype)])
+    return dataclasses.replace(scene, cal=scene.cal + dcal[None, :])
+
+
 def _update_scene(scene: SceneData, dc, dp) -> SceneData:
     R, t, cal = _apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
     return dataclasses.replace(
@@ -425,6 +457,8 @@ def lm_optimize(
         else:
             dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)
         cand = _update_scene(scene, dc, dp)
+        if cfg.share_calibration:
+            cand = _shared_calibration_step(cand, cfg)
         new_cost = total_cost(cand)
         accept = new_cost < cost
         scene = jax.tree_util.tree_map(
