@@ -50,8 +50,10 @@ class OlssonLoader(LoaderBase):
         self._folder = folder
         self._max_frame_lookahead = max_frame_lookahead
         self._image_paths = sorted(
-            glob.glob(os.path.join(folder, "images", f"*.{image_extension}"))
-            + glob.glob(os.path.join(folder, "images", f"*.{image_extension.lower()}"))
+            set(
+                glob.glob(os.path.join(folder, "images", f"*.{image_extension}"))
+                + glob.glob(os.path.join(folder, "images", f"*.{image_extension.lower()}"))
+            )
         )
         if not self._image_paths:
             raise FileNotFoundError(f"no images under {folder}/images")

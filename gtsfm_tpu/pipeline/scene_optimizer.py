@@ -177,25 +177,106 @@ class SceneOptimizer:
             lg.init_random(k=d1.shape[1])
         return lg(d1, d2, k1, k2, m1, m2, shape, shape)
 
-    def run_two_view(self, feats, cals, pairs):
-        """Batched matching + batched RANSAC for all pairs at once."""
+    def run_image_correspondences(self, loader: LoaderBase, pairs):
+        """Direct image-pair matching (LoFTR) + dedup aggregation — the
+        reference's ImageCorrespondenceGenerator path
+        (image_correspondence_generator.py:26 + keypoint_aggregator_dedup).
+
+        Returns (per-image padded keypoints feats-like list, cals, sizes,
+        correspondence arrays x1/x2/cm, match_idx) shaped like run_two_view's
+        inputs/outputs so the rest of the pipeline is unchanged.
+        """
+        from gtsfm_tpu.frontend import aggregator
+        from gtsfm_tpu.frontend.deep import loftr as loftr_mod
+
+        fe = self.config.frontend
+        n = len(loader)
+        model = loftr_mod.LoFTR(max_matches=fe.max_keypoints)
+        if model.params is None:
+            if not fe.allow_random_weights:
+                raise ValueError("loftr requires a checkpoint or allow_random_weights")
+            img0, _ = loader.get_image(0)
+            g0 = to_grayscale(img0.value_array)
+            h8, w8 = (g0.shape[0] // 8) * 8, (g0.shape[1] // 8) * 8
+            model.init_random(h=h8, w=w8)
+
+        grays, cals, sizes = [], [], []
+        for i in range(n):
+            img, cal = loader.get_image(i)
+            g = to_grayscale(img.value_array)
+            h8, w8 = (g.shape[0] // 8) * 8, (g.shape[1] // 8) * 8
+            grays.append(jnp.asarray(g[:h8, :w8]))
+            cals.append(cal)
+            sizes.append((img.width, img.height))
+
+        pair_kpts = {}
+        for (a, b) in pairs:
+            out = model(grays[a], grays[b])
+            live = np.asarray(out.mask) > 0
+            pair_kpts[(a, b)] = (
+                np.asarray(out.kpts0)[live], np.asarray(out.kpts1)[live]
+            )
+        kpts_per_image, match_indices = aggregator.aggregate_dedup(pair_kpts, n)
+
+        # Build feats-like per-image padded keypoint tables (no descriptors).
+        K = max(max((k.shape[0] for k in kpts_per_image), default=1), 1)
+        feats = []
+        for i in range(n):
+            k = kpts_per_image[i]
+            uv = np.zeros((K, 2), np.float32)
+            m = np.zeros(K, np.float32)
+            uv[: k.shape[0]] = k
+            m[: k.shape[0]] = 1.0
+            feats.append(
+                sift.SiftFeatures(
+                    uv=jnp.asarray(uv), scale=jnp.zeros(K), response=jnp.asarray(m),
+                    descriptor=jnp.zeros((K, 1)), mask=jnp.asarray(m),
+                )
+            )
+
+        # Correspondence arrays (P, Kp): per pair, padded.
+        P = len(pairs)
+        # Floor of 16: the RANSAC engine samples 8-point minimal sets.
+        Kp = max(max((m.shape[0] for m in match_indices.values()), default=1), 16)
+        x1 = np.zeros((P, Kp, 2), np.float32)
+        x2 = np.zeros((P, Kp, 2), np.float32)
+        cm = np.zeros((P, Kp), np.float32)
+        midx = np.full((P, K), -1, np.int32)
+        for k_p, (a, b) in enumerate(pairs):
+            m = match_indices[(a, b)]
+            x1[k_p, : m.shape[0]] = kpts_per_image[a][m[:, 0]]
+            x2[k_p, : m.shape[0]] = kpts_per_image[b][m[:, 1]]
+            cm[k_p, : m.shape[0]] = 1.0
+            midx[k_p, m[:, 0]] = m[:, 1]
+        return feats, np.stack(cals), sizes, (
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(cm), jnp.asarray(midx)
+        )
+
+    def run_two_view(self, feats, cals, pairs, precomputed=None):
+        """Batched matching + batched RANSAC for all pairs at once.
+
+        precomputed: optional (x1, x2, cm, idx) from the image-correspondence
+        path (LoFTR), bypassing descriptor matching."""
         fe = self.config.frontend
         tv = self.config.two_view
-        d1 = jnp.stack([feats[a].descriptor for a, b in pairs])
-        d2 = jnp.stack([feats[b].descriptor for a, b in pairs])
-        m1 = jnp.stack([feats[a].mask for a, b in pairs])
-        m2 = jnp.stack([feats[b].mask for a, b in pairs])
-        k1 = jnp.stack([feats[a].uv for a, b in pairs])
-        k2 = jnp.stack([feats[b].uv for a, b in pairs])
-        if fe.matcher_type == "mutual_nn":
-            idx, mm = matching.mutual_nearest_matching(
-                d1, d2, m1, m2, ratio_test=fe.ratio_test
-            )
-        elif fe.matcher_type in ("superglue", "lightglue"):
-            idx, mm = self._deep_match(feats, pairs, d1, d2, k1, k2, m1, m2)
+        if precomputed is not None:
+            x1, x2, cm, idx = precomputed
         else:
-            raise ValueError(f"unknown matcher_type {fe.matcher_type}")
-        x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
+            d1 = jnp.stack([feats[a].descriptor for a, b in pairs])
+            d2 = jnp.stack([feats[b].descriptor for a, b in pairs])
+            m1 = jnp.stack([feats[a].mask for a, b in pairs])
+            m2 = jnp.stack([feats[b].mask for a, b in pairs])
+            k1 = jnp.stack([feats[a].uv for a, b in pairs])
+            k2 = jnp.stack([feats[b].uv for a, b in pairs])
+            if fe.matcher_type == "mutual_nn":
+                idx, mm = matching.mutual_nearest_matching(
+                    d1, d2, m1, m2, ratio_test=fe.ratio_test
+                )
+            elif fe.matcher_type in ("superglue", "lightglue"):
+                idx, mm = self._deep_match(feats, pairs, d1, d2, k1, k2, m1, m2)
+            else:
+                raise ValueError(f"unknown matcher_type {fe.matcher_type}")
+            x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
 
         K1 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[a])) for a, b in pairs])
         K2 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[b])) for a, b in pairs])
@@ -275,14 +356,18 @@ class SceneOptimizer:
         metrics.append(g)
         logger.info("pairs: %d", len(pairs))
 
-        feats, cals, sizes = self.compute_features(loader)
+        if cfg.frontend.feature_type == "loftr":
+            feats, cals, sizes, precomputed = self.run_image_correspondences(loader, pairs)
+        else:
+            feats, cals, sizes = self.compute_features(loader)
+            precomputed = None
         t_feat = time.time()
         g = MetricsGroup("correspondence_metrics")
         g.add("num_keypoints_per_image", np.asarray([float(f.mask.sum()) for f in feats]))
         g.add("duration_sec", t_feat - t0)
         metrics.append(g)
 
-        res, match_idx = self.run_two_view(feats, cals, pairs)
+        res, match_idx = self.run_two_view(feats, cals, pairs, precomputed=precomputed)
         t_2view = time.time()
         ok = np.asarray(res.success)
         g = MetricsGroup("two_view_metrics")
