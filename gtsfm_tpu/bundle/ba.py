@@ -489,6 +489,7 @@ def run_ba_with_filtering(
     scene: SceneData,
     reproj_thresholds_px: tuple[float, ...] = (10.0, 5.0, 3.0),
     cfg: BAConfig = BAConfig(),
+    priors: RelativePosePriors | None = None,
 ) -> tuple[SceneData, list[dict]]:
     """Multi-stage BA: optimize, filter landmarks by threshold, repeat.
 
@@ -498,7 +499,7 @@ def run_ba_with_filtering(
     """
     stats = []
     for thresh in reproj_thresholds_px:
-        result = lm_optimize(scene, cfg)
+        result = lm_optimize(scene, cfg, priors=priors)
         scene = result.scene.filter_landmarks(thresh)
         stats.append(
             dict(

@@ -101,6 +101,50 @@ def fisheye_uncalibrate(cal: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([u, v], axis=-1)
 
 
+def fisheye_calibrate(cal: jnp.ndarray, uv: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Pixels -> normalized pinhole coords under the equidistant fisheye model
+    (inverse of :func:`fisheye_uncalibrate`; GTSAM Cal3Fisheye::calibrate).
+
+    Newton iteration on theta(1 + k1 t2 + k2 t4 + k3 t6 + k4 t8) = theta_d,
+    then r = tan(theta) recovers the pinhole radius.
+    """
+    fx, fy, s = cal[..., 0], cal[..., 1], cal[..., 2]
+    u0, v0 = cal[..., 3], cal[..., 4]
+    k = cal[..., 5:9]
+    yd = (uv[..., 1] - v0) / fy
+    xd = (uv[..., 0] - u0 - s * yd) / fx
+    theta_d = jnp.sqrt(jnp.maximum(xd * xd + yd * yd, 1e-18))
+
+    def body(_, theta):
+        t2 = theta * theta
+        poly = 1.0 + k[..., 0] * t2 + k[..., 1] * t2**2 + k[..., 2] * t2**3 + k[..., 3] * t2**4
+        dpoly = (
+            2 * k[..., 0] * theta + 4 * k[..., 1] * theta * t2
+            + 6 * k[..., 2] * theta * t2**2 + 8 * k[..., 3] * theta * t2**3
+        )
+        f_val = theta * poly - theta_d
+        f_der = poly + theta * dpoly
+        return theta - f_val / jnp.maximum(f_der, 1e-9)
+
+    theta = jax.lax.fori_loop(0, iters, body, theta_d)
+    r = jnp.tan(jnp.clip(theta, 0.0, 1.55))
+    scale = r / theta_d
+    return jnp.stack([xd * scale, yd * scale], axis=-1)
+
+
+def fisheye_to_virtual_pinhole(cal9: jnp.ndarray, uv: jnp.ndarray):
+    """Undistort fisheye pixels into a VIRTUAL PINHOLE camera sharing
+    (f=(fx+fy)/2, pp): returns (uv_pinhole, cal3bundler_params). Lets the
+    whole downstream pipeline (RANSAC, triangulation, Cal3Bundler BA) run
+    unchanged on rig/fisheye datasets."""
+    xn = fisheye_calibrate(cal9, uv)
+    f = 0.5 * (cal9[..., 0] + cal9[..., 1])
+    u0, v0 = cal9[..., 3], cal9[..., 4]
+    uv_pin = xn * f[..., None] + jnp.stack([u0, v0], -1)
+    cal5 = jnp.stack([f, jnp.zeros_like(f), jnp.zeros_like(f), u0, v0], -1)
+    return uv_pin, cal5
+
+
 def world_to_camera(wRi: jnp.ndarray, wti: jnp.ndarray, p_world: jnp.ndarray) -> jnp.ndarray:
     """Map world points into camera frame i: p_i = wRi^T (p_w - wti)."""
     return jnp.einsum("...ji,...j->...i", wRi, p_world - wti)

@@ -132,9 +132,28 @@ class HiltiLoader(LoaderBase):
         return (wR_imu @ iR).astype(np.float32), (wR_imu @ it + wt_imu).astype(np.float32)
 
     def get_relative_pose_priors(self) -> dict[tuple[int, int], PosePrior]:
-        """Image-level soft priors from rig constraints (between cam2 of rig a
-        and cam2 of rig b, mirroring the reference's rig handling)."""
+        """Image-level priors: (a) HARD intra-rig priors between cameras of
+        the same rig pose from the Kalibr calibration (the rig is rigid), and
+        (b) soft cam2<->cam2 priors across rigs from the lidar constraints —
+        mirroring the reference's RigBundleAdjustmentOptimizer between-factor
+        policy (rig_bundle_adjustment.py:25)."""
         priors = {}
+        # (a) intra-rig: a_T_b = camTimu_a * inv(camTimu_b), known exactly.
+        tight_cov = np.eye(6) * 1e-6
+        for rig in range(self.num_rig_poses):
+            for ca in range(NUM_CAMS):
+                for cb in range(ca + 1, NUM_CAMS):
+                    Ra, ta = self._cam_T_imu[ca]
+                    Rb, tb = self._cam_T_imu[cb]
+                    iRb = Rb.T
+                    itb = -Rb.T @ tb
+                    R = Ra @ iRb
+                    t = Ra @ itb + ta
+                    priors[(rig * NUM_CAMS + ca, rig * NUM_CAMS + cb)] = PosePrior(
+                        wRi=R.astype(np.float32), wti=t.astype(np.float32),
+                        covariance=tight_cov, type=PosePriorType.HARD_CONSTRAINT,
+                    )
+        # (b) across-rig soft constraints from lidar odometry.
         for c in self.constraints:
             i1 = c.a * NUM_CAMS + 2
             i2 = c.b * NUM_CAMS + 2

@@ -361,6 +361,24 @@ class SceneOptimizer:
         else:
             feats, cals, sizes = self.compute_features(loader)
             precomputed = None
+
+        # Fisheye rigs (Hilti): undistort keypoints into a virtual pinhole so
+        # the Cal3Bundler pipeline stays valid (reference handles this via
+        # Cal3Fisheye inside GTSAM; here the undistortion happens once).
+        if hasattr(loader, "get_fisheye_calibration"):
+            scale = cals[0][0] / loader.get_camera_intrinsics_full_res(0)[0]
+            new_feats = []
+            for i, f in enumerate(feats):
+                cal9 = np.asarray(loader.get_fisheye_calibration(i), np.float32).copy()
+                cal9[[0, 1, 3, 4]] *= scale  # match the rescaled resolution
+                uv_pin, cal5 = cameras.fisheye_to_virtual_pinhole(
+                    jnp.asarray(cal9), f.uv
+                )
+                uv_pin = uv_pin * f.mask[:, None]
+                new_feats.append(f._replace(uv=uv_pin))
+                cals[i] = np.asarray(cal5)
+            feats = new_feats
+            logger.info("fisheye keypoints undistorted to virtual pinhole")
         t_feat = time.time()
         g = MetricsGroup("correspondence_metrics")
         g.add("num_keypoints_per_image", np.asarray([float(f.mask.sum()) for f in feats]))
@@ -414,6 +432,31 @@ class SceneOptimizer:
         g.add("num_triplets", vg_info.get("num_triplets", 0))
         metrics.append(g)
         edges, i2Ri1, i2Ui1 = edges[keep], i2Ri1[keep], i2Ui1[keep]
+
+        # Rig/lidar prior edges join the averaging graph directly (they are
+        # calibrated/odometry-derived, not subject to cycle filtering) —
+        # reference rig averaging variants (rig_1dsfm.py:25).
+        if hasattr(loader, "get_relative_pose_priors"):
+            prior_map = loader.get_relative_pose_priors()
+            existing = {tuple(e) for e in edges.tolist()}
+            add_e, add_R, add_U = [], [], []
+            for (a, b), p in prior_map.items():
+                if (a, b) in existing:
+                    continue
+                bRa = p.wRi.T  # prior stores aRb; edge (i1=a, i2=b) wants i2Ri1
+                bta = -p.wRi.T @ p.wti
+                nrm = np.linalg.norm(bta)
+                if nrm < 1e-9:
+                    continue
+                add_e.append((a, b))
+                add_R.append(bRa)
+                add_U.append(bta / nrm)
+            if add_e:
+                edges = np.concatenate([edges, np.asarray(add_e, np.int64)])
+                i2Ri1 = np.concatenate([i2Ri1, np.asarray(add_R, np.float32)])
+                i2Ui1 = np.concatenate([i2Ui1, np.asarray(add_U, np.float32)])
+                logger.info("added %d prior edges to the averaging graph", len(add_e))
+
         if len(edges) == 0:
             raise RuntimeError("view graph empty after cycle filtering")
 
@@ -505,13 +548,33 @@ class SceneOptimizer:
         sc = sc.filter_landmarks(cfg.multi_view.triangulation_reproj_thresh_px)
         wRi_pre_ba, wti_pre_ba = np.asarray(sc.wRi), np.asarray(sc.wti)
 
-        # Global BA.
+        # Global BA (+ rig/lidar relative-pose priors if the loader has them,
+        # reference rig_bundle_adjustment.py).
         ba_cfg = ba.BAConfig(
             max_iterations=cfg.multi_view.ba_max_iterations,
             optimize_calibration=cfg.multi_view.optimize_calibration,
         )
+        ba_priors = None
+        if hasattr(loader, "get_relative_pose_priors"):
+            prior_map = loader.get_relative_pose_priors()
+            if prior_map:
+                ea = np.asarray([a for (a, b) in prior_map], np.int32)
+                eb = np.asarray([b for (a, b) in prior_map], np.int32)
+                aRb = np.stack([p.wRi for p in prior_map.values()]).astype(np.float32)
+                atb = np.stack([p.wti for p in prior_map.values()]).astype(np.float32)
+                # sqrt-information from the covariance trace (isotropic approx).
+                wgt = np.asarray(
+                    [1.0 / max(np.sqrt(np.trace(p.covariance) / 6.0), 1e-3)
+                     for p in prior_map.values()], np.float32,
+                )
+                ba_priors = ba.RelativePosePriors(
+                    edges_a=jnp.asarray(ea), edges_b=jnp.asarray(eb),
+                    aRb=jnp.asarray(aRb), atb=jnp.asarray(atb),
+                    weight=jnp.asarray(wgt),
+                )
+                logger.info("BA with %d relative-pose priors", len(ea))
         final, ba_stats = ba.run_ba_with_filtering(
-            sc, cfg.multi_view.ba_reproj_thresholds_px, ba_cfg
+            sc, cfg.multi_view.ba_reproj_thresholds_px, ba_cfg, priors=ba_priors
         )
         t_ba = time.time()
         err, _ = final.reprojection_errors()

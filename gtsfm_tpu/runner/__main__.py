@@ -16,7 +16,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="gtsfm_tpu reconstruction runner")
     p.add_argument("--dataset_root", required=True)
-    p.add_argument("--loader", default="olsson", choices=["olsson", "colmap"])
+    p.add_argument("--loader", default="olsson", choices=["olsson", "colmap", "hilti", "mobilebrick", "astrovision", "onedsfm", "yfcc"])
     p.add_argument("--images_dir", default=None, help="for colmap loader")
     p.add_argument("--max_resolution", type=int, default=760)
     p.add_argument("--max_frame_lookahead", type=int, default=10)
@@ -56,7 +56,7 @@ def main(argv=None) -> int:
             max_frame_lookahead=args.max_frame_lookahead,
             max_resolution=args.max_resolution,
         )
-    else:
+    elif args.loader == "colmap":
         from gtsfm_tpu.loader.colmap import ColmapLoader
 
         loader = ColmapLoader(
@@ -64,6 +64,32 @@ def main(argv=None) -> int:
             max_frame_lookahead=args.max_frame_lookahead,
             max_resolution=args.max_resolution,
         )
+    elif args.loader == "hilti":
+        from gtsfm_tpu.loader.hilti import HiltiLoader
+
+        loader = HiltiLoader(args.dataset_root, max_resolution=args.max_resolution)
+    elif args.loader == "mobilebrick":
+        from gtsfm_tpu.loader.mobilebrick import MobilebrickLoader
+
+        loader = MobilebrickLoader(
+            args.dataset_root, max_frame_lookahead=args.max_frame_lookahead,
+            max_resolution=args.max_resolution,
+        )
+    elif args.loader == "astrovision":
+        from gtsfm_tpu.loader.astrovision import AstrovisionLoader
+
+        loader = AstrovisionLoader(
+            args.dataset_root, max_frame_lookahead=args.max_frame_lookahead,
+            max_resolution=args.max_resolution,
+        )
+    elif args.loader == "onedsfm":
+        from gtsfm_tpu.loader.one_d_sfm import OneDSFMLoader
+
+        loader = OneDSFMLoader(args.dataset_root, max_resolution=args.max_resolution)
+    else:
+        from gtsfm_tpu.loader.yfcc_imb import YfccImbLoader
+
+        loader = YfccImbLoader(args.dataset_root, max_resolution=args.max_resolution)
 
     result = SceneOptimizer(cfg).run(loader)
     err, _ = result.scene.reprojection_errors()

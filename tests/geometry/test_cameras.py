@@ -63,3 +63,26 @@ def test_fisheye_pinhole_limit():
     uv = cameras.fisheye_uncalibrate(cal, p)
     # theta ~ r for small r, so equidistant ~ pinhole
     np.testing.assert_allclose(np.asarray(uv), [[320 + 4.0, 240 - 8.0]], atol=0.01)
+
+
+def test_fisheye_calibrate_roundtrip(rng):
+    from gtsfm_tpu.geometry import cameras as cam
+
+    cal = cam.fisheye_params(600.0, 610.0, 0.0, 640.0, 480.0, -0.04, -0.008, 0.009, -0.003)
+    p = jnp.asarray(rng.uniform(-0.8, 0.8, size=(200, 2)), jnp.float32)
+    uv = cam.fisheye_uncalibrate(cal, p)
+    p2 = cam.fisheye_calibrate(cal, uv)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p), atol=2e-4)
+
+
+def test_fisheye_virtual_pinhole(rng):
+    """Undistorted pixels must be an exact pinhole projection of the same rays."""
+    from gtsfm_tpu.geometry import cameras as cam
+
+    cal9 = cam.fisheye_params(600.0, 600.0, 0.0, 640.0, 480.0, -0.04, -0.008, 0.009, -0.003)
+    p = jnp.asarray(rng.uniform(-0.6, 0.6, size=(50, 2)), jnp.float32)
+    uv_fish = cam.fisheye_uncalibrate(cal9, p)
+    uv_pin, cal5 = cam.fisheye_to_virtual_pinhole(cal9, uv_fish)
+    expected = p * 600.0 + jnp.asarray([640.0, 480.0])
+    np.testing.assert_allclose(np.asarray(uv_pin), np.asarray(expected), atol=0.2)
+    np.testing.assert_allclose(np.asarray(cal5), [600, 0, 0, 640, 480], atol=1e-4)
