@@ -156,3 +156,23 @@ def test_shared_calibration(rng):
     live = np.asarray(result.scene.meas_mask) > 0
     assert float(np.asarray(err)[live].mean()) < 0.5
     assert abs(cal_f[0, 0] - 525.0) < 30.0  # did not diverge
+
+
+def test_analytic_jacobians_match_autodiff(rng):
+    """The closed-form blocks must equal 12-tangent jacfwd to f32 precision."""
+    sc_gt, _ = make_ba_problem(rng, n_cams=3, n_tracks=10, pixel_noise=0.4)
+    sc = perturb(rng, sc_gt, 1.0, 0.05, 0.05)
+    wRi = sc.wRi[sc.meas_cam]
+    wti = sc.wti[sc.meas_cam]
+    cal = sc.cal[sc.meas_cam]
+    X = sc.points[sc.meas_track]
+    uv = sc.meas_uv
+    r_a, Jc_a, Jp_a = ba._analytic_blocks(wRi, wti, cal, X, uv)
+    zc = jnp.zeros((uv.shape[0], ba.CAM_DIM))
+    zp = jnp.zeros((uv.shape[0], ba.PT_DIM))
+    r_d = jax.vmap(ba._residual_one)(zc, zp, wRi, wti, cal, X, uv)
+    Jc_d, Jp_d = jax.vmap(ba._jac_one)(zc, zp, wRi, wti, cal, X, uv)
+    live = np.asarray(sc.meas_mask) > 0
+    np.testing.assert_allclose(np.asarray(r_a)[live], np.asarray(r_d)[live], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jc_a)[live], np.asarray(Jc_d)[live], rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(Jp_a)[live], np.asarray(Jp_d)[live], rtol=1e-3, atol=1e-2)
