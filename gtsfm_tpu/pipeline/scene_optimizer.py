@@ -385,7 +385,43 @@ class SceneOptimizer:
         g.add("duration_sec", t_feat - t0)
         metrics.append(g)
 
-        res, match_idx = self.run_two_view(feats, cals, pairs, precomputed=precomputed)
+        # Two-view cache (reference TwoViewEstimatorCacher,
+        # two_view_estimator_cacher.py:36 — key from the first keypoints +
+        # config; functions as front-end checkpoint/resume).
+        tv_cache = FeatureCache(
+            os.path.join(cfg.cache_dir, "two_view"), cfg.enable_cache
+        )
+        key_payload = np.concatenate(
+            [np.asarray(feats[0].uv[:10]).ravel(), np.asarray(feats[-1].uv[:10]).ravel()]
+        )
+        tv_key = tv_cache.key(
+            key_payload,
+            f"{len(pairs)}-{cfg.two_view.num_hypotheses}-"
+            f"{cfg.two_view.estimation_threshold_px}-{cfg.two_view.ba_enabled}-{cfg.seed}",
+        )
+        hit = tv_cache.load(tv_key)
+        if hit is not None:
+            res = ransac.TwoViewResult(
+                i2Ri1=jnp.asarray(hit["i2Ri1"]), i2Ui1=jnp.asarray(hit["i2Ui1"]),
+                inlier_mask=jnp.asarray(hit["inlier_mask"]),
+                num_inliers=jnp.asarray(hit["num_inliers"]),
+                inlier_ratio=jnp.asarray(hit["inlier_ratio"]),
+                success=jnp.asarray(hit["success"]),
+            )
+            match_idx = jnp.asarray(hit["match_idx"])
+            logger.info("two-view results loaded from cache")
+        else:
+            res, match_idx = self.run_two_view(feats, cals, pairs, precomputed=precomputed)
+            tv_cache.save(
+                tv_key,
+                dict(
+                    i2Ri1=np.asarray(res.i2Ri1), i2Ui1=np.asarray(res.i2Ui1),
+                    inlier_mask=np.asarray(res.inlier_mask),
+                    num_inliers=np.asarray(res.num_inliers),
+                    inlier_ratio=np.asarray(res.inlier_ratio),
+                    success=np.asarray(res.success), match_idx=np.asarray(match_idx),
+                ),
+            )
         t_2view = time.time()
         ok = np.asarray(res.success)
         g = MetricsGroup("two_view_metrics")
