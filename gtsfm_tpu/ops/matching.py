@@ -70,6 +70,49 @@ def mutual_nearest_matching(
     return match_idx, ok.astype(desc1.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("ratio_test",))
+def match_hamming(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    mask1: jnp.ndarray,
+    mask2: jnp.ndarray,
+    ratio_test: float | None = 0.8,
+    distance_threshold: float | None = None,
+):
+    """Mutual-NN Hamming matching for binary descriptors (ORB/BRISK).
+
+    TPU-native replacement for cv2.BFMatcher(NORM_HAMMING): descriptors are
+    float {0,1} arrays of D bits; with b = 2d-1 (+/-1 coding) the Hamming
+    distance is (D - b1.b2)/2 — one MXU matmul for all pairs.
+
+    Returns (match_idx (B, K1) int32, match_mask (B, K1) float) like
+    mutual_nearest_matching. distance_threshold is in BITS.
+    """
+    D = desc1.shape[-1]
+    b1 = 2.0 * desc1 - 1.0
+    b2 = 2.0 * desc2 - 1.0
+    sim = jnp.einsum("bkd,bld->bkl", b1, b2)  # = D - 2 * hamming
+    sim = jnp.where(mask1[:, :, None] > 0, sim, NEG)
+    sim = jnp.where(mask2[:, None, :] > 0, sim, NEG)
+
+    best12 = jnp.argmax(sim, axis=2)
+    best21 = jnp.argmax(sim, axis=1)
+    k1_ids = jnp.arange(sim.shape[1])[None, :]
+    mutual = jnp.take_along_axis(best21, best12, axis=1) == k1_ids
+
+    s_best = jnp.max(sim, axis=2)
+    ok = mutual & (mask1 > 0) & (s_best > NEG / 2)
+    h_best = 0.5 * (D - s_best)
+    if ratio_test is not None:
+        sim2 = jnp.where(jax.nn.one_hot(best12, sim.shape[2], dtype=bool), NEG, sim)
+        h_second = 0.5 * (D - jnp.max(sim2, axis=2))
+        ok = ok & (h_best < ratio_test * h_second)
+    if distance_threshold is not None:
+        ok = ok & (h_best < distance_threshold)
+    match_idx = jnp.where(ok, best12, -1).astype(jnp.int32)
+    return match_idx, ok.astype(desc1.dtype)
+
+
 def matches_to_correspondences(
     match_idx: jnp.ndarray,
     match_mask: jnp.ndarray,

@@ -77,6 +77,115 @@ def verify_fundamental_batched(
 
 
 # ---------------------------------------------------------------------------
+# Least-Median-of-Squares (LMedS)
+# ---------------------------------------------------------------------------
+
+
+class LMedSResult(NamedTuple):
+    model: jnp.ndarray  # (P, 3, 3) E or F
+    inlier_mask: jnp.ndarray  # (P, N) float {0,1}
+    num_inliers: jnp.ndarray  # (P,)
+    success: jnp.ndarray  # (P,)
+
+
+def _masked_median_sq(d: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of d over the masked entries. d: (P, S, N), mask: (P, N)."""
+    big = jnp.asarray(jnp.finfo(d.dtype).max, d.dtype)
+    d_m = jnp.where(mask[:, None, :] > 0, d, big)
+    d_sorted = jnp.sort(d_m, axis=-1)
+    n_live = jnp.sum(mask > 0, axis=-1)  # (P,)
+    mid = jnp.maximum(n_live // 2, 0)  # lower median (Rousseeuw's h = floor(n/2)+1 rank)
+    return jnp.take_along_axis(d_sorted, mid[:, None, None], axis=-1)[..., 0]  # (P, S)
+
+
+def _lmeds_core(fit_fn, dist_fn, key, p1, p2, mask, num_hypotheses, min_inliers, refit_rounds=2):
+    """Shared LMedS engine (Rousseeuw 1984, the reference's cv2.FM_LMEDS
+    verifier, gtsfm/frontend/verifier/lmeds.py:19): minimize the MEDIAN of
+    squared residuals over hypotheses instead of maximizing a fixed-threshold
+    consensus — threshold-free, breakdown point 50%. The inlier band is then
+    derived from the robust scale estimate
+    sigma = 1.4826 (1 + 5/(n-p)) sqrt(med) and inliers = d^2 < (2.5 sigma)^2.
+    """
+    P, N, _ = p1.shape
+    keys = jax.random.split(key, P)
+    sidx = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, num_hypotheses, 8))(keys, mask)
+    take = lambda pts, idx: jnp.take_along_axis(
+        pts[:, None, :, :].repeat(num_hypotheses, axis=1), idx[..., None], axis=2
+    )
+    M_h = fit_fn(take(p1, sidx), take(p2, sidx))  # (P, S, 3, 3)
+    d = dist_fn(M_h, p1[:, None], p2[:, None])  # (P, S, N)
+    med = _masked_median_sq(d, mask)  # (P, S)
+    best = jnp.argmin(med, axis=-1)
+    M = jnp.take_along_axis(M_h, best[:, None, None, None], axis=1)[:, 0]
+    med_best = jnp.take_along_axis(med, best[:, None], axis=1)[:, 0]
+
+    n_live = jnp.maximum(jnp.sum(mask > 0, axis=-1).astype(p1.dtype), 9.0)
+    sigma = 1.4826 * (1.0 + 5.0 / (n_live - 8.0)) * jnp.sqrt(jnp.maximum(med_best, 1e-18))
+    thr_sq = (2.5 * sigma) ** 2  # (P,)
+
+    w = ((dist_fn(M, p1, p2) < thr_sq[:, None]) & (mask > 0)).astype(p1.dtype)
+    # Weighted least-squares refit on the LMedS inlier band (the classical
+    # "reweighted LS after LMS" final stage), keeping the better-supported model.
+    for _ in range(refit_rounds):
+        M_new = fit_fn(p1, p2, w)
+        w_new = ((dist_fn(M_new, p1, p2) < thr_sq[:, None]) & (mask > 0)).astype(p1.dtype)
+        better = jnp.sum(w_new, axis=-1) >= jnp.sum(w, axis=-1)
+        M = jnp.where(better[:, None, None], M_new, M)
+        w = jnp.where(better[:, None], w_new, w)
+    num_inl = jnp.sum(w, axis=-1)
+    return M, w, num_inl, num_inl >= min_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def verify_essential_lmeds_batched(
+    key: jax.Array,
+    x1: jnp.ndarray,  # (P, N, 2) NORMALIZED coordinates
+    x2: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_hypotheses: int = 512,
+    min_inliers: int = 15,
+):
+    """LMedS essential-matrix verification (cv2.FM_LMEDS-equivalent) +
+    cheirality pose recovery. Returns a ransac.TwoViewResult."""
+    from gtsfm_tpu.ops.ransac import TwoViewResult
+
+    E, w, num_inl, ok = _lmeds_core(
+        epipolar.essential_from_eight_point,
+        epipolar.sampson_distance_sq,
+        key, x1, x2, mask, num_hypotheses, min_inliers,
+    )
+    R, U, _ = epipolar.recover_pose_from_essential(E, x1, x2, w)
+    n_corr = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    ratio = num_inl / n_corr
+    return TwoViewResult(
+        i2Ri1=R,
+        i2Ui1=U / jnp.maximum(jnp.linalg.norm(U, axis=-1, keepdims=True), 1e-12),
+        inlier_mask=w,
+        num_inliers=num_inl,
+        inlier_ratio=ratio,
+        success=ok & (ratio >= 0.1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def verify_fundamental_lmeds_batched(
+    key: jax.Array,
+    uv1: jnp.ndarray,  # (P, N, 2) PIXEL coordinates
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_hypotheses: int = 512,
+    min_inliers: int = 8,
+) -> FundamentalResult:
+    """LMedS fundamental-matrix verification (cv2.FM_LMEDS-equivalent)."""
+    F, w, num_inl, ok = _lmeds_core(
+        epipolar.fundamental_from_eight_point,
+        epipolar.sampson_distance_sq,
+        key, uv1, uv2, mask, num_hypotheses, min_inliers,
+    )
+    return FundamentalResult(F=F, inlier_mask=w, num_inliers=num_inl, success=ok)
+
+
+# ---------------------------------------------------------------------------
 # Homography fit + GRIC selection
 # ---------------------------------------------------------------------------
 

@@ -32,6 +32,48 @@ def test_fundamental_ransac(rng):
     assert float(jnp.sqrt(d).mean()) < 1.0
 
 
+def test_lmeds_essential(rng):
+    """LMedS (threshold-free) rejects 30% outliers and recovers the GT pose."""
+    from gtsfm_tpu.geometry import lie
+
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=200, noise=2e-4)
+    x2_bad = np.asarray(x2).copy()
+    bad = rng.choice(200, 60, replace=False)
+    x2_bad[bad] += rng.uniform(0.05, 0.3, size=(60, 2))
+    res = verifiers.verify_essential_lmeds_batched(
+        jax.random.PRNGKey(0), x1[None], jnp.asarray(x2_bad)[None],
+        jnp.ones((1, 200)), num_hypotheses=512,
+    )
+    assert bool(res.success[0])
+    inl = np.asarray(res.inlier_mask[0])
+    assert inl[bad].mean() < 0.15
+    good = np.setdiff1d(np.arange(200), bad)
+    assert inl[good].mean() > 0.8
+    r_err = np.degrees(
+        float(jnp.linalg.norm(lie.so3_log(jnp.asarray(R.T) @ res.i2Ri1[0])))
+    )
+    t_err = np.degrees(
+        np.arccos(np.clip(abs(float(res.i2Ui1[0] @ (t / np.linalg.norm(t)))), 0, 1))
+    )
+    assert r_err < 1.0 and t_err < 2.0
+
+
+def test_lmeds_fundamental(rng):
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=150, noise=3e-4)
+    uv1 = to_pixels(x1)
+    uv2_bad = np.asarray(to_pixels(x2)).copy()
+    bad = rng.choice(150, 40, replace=False)
+    uv2_bad[bad] += rng.uniform(40, 150, size=(40, 2))
+    res = verifiers.verify_fundamental_lmeds_batched(
+        jax.random.PRNGKey(0), uv1[None], jnp.asarray(uv2_bad)[None],
+        jnp.ones((1, 150)), num_hypotheses=512,
+    )
+    assert bool(res.success[0])
+    inl = np.asarray(res.inlier_mask[0])
+    assert inl[bad].mean() < 0.2
+    assert inl.sum() > 80
+
+
 def test_homography_fit_exact(rng):
     H_gt = jnp.asarray(
         [[1.1, 0.05, 10.0], [-0.03, 0.95, -5.0], [1e-4, -2e-4, 1.0]], jnp.float32
