@@ -108,7 +108,9 @@ class TranslationResult(NamedTuple):
     inlier_edges: np.ndarray  # (E,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "num_nodes", "gn_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "num_nodes", "gn_iters", "normalize_gauge")
+)
 def _recover_translations_gn(
     edges_a: jnp.ndarray,
     edges_b: jnp.ndarray,
@@ -118,6 +120,9 @@ def _recover_translations_gn(
     num_nodes: int,
     iters: int = 60,
     gn_iters: int = 15,
+    is_metric: jnp.ndarray | None = None,  # (E,) {0,1}: u_meas is a FULL displacement
+    sigma_e: jnp.ndarray | None = None,  # (E,) per-edge noise sigma
+    normalize_gauge: bool = True,
 ):
     """Robust alternating least squares on scaled-direction residuals.
 
@@ -128,17 +133,30 @@ def _recover_translations_gn(
     a CG solve of the weighted graph-Laplacian system in t. Huber IRLS weights
     give the same outlier robustness as the reference's Huber(1.345) kernel.
     Scale gauge: mean edge scale normalized to 1 each sweep.
+
+    Metric edges (``is_metric``=1, e.g. rig calibration / lidar priors —
+    reference gtsam BinaryMeasurementPoint3 priors in rig_1dsfm.py:25) pin the
+    FULL displacement t_b - t_a = u_e: their scale is fixed at 1 and they fix
+    the global scale gauge (set ``normalize_gauge=False`` when present).
     """
     n = num_nodes
     delta = 0.05
+    if is_metric is None:
+        is_metric = jnp.zeros(u_meas.shape[0], u_meas.dtype)
+    if sigma_e is None:
+        sigma_e = jnp.full(u_meas.shape[0], NOISE_SIGMA, u_meas.dtype)
+    # Relative information weights (1 for standard direction edges).
+    w_sigma = (NOISE_SIGMA / sigma_e) ** 2
 
     def body(t, it):
         d_vec = t[edges_b] - t[edges_a]
         s = jnp.maximum(jnp.sum(d_vec * u_meas, axis=-1), delta)
-        # normalize scale gauge: mean live-edge scale -> 1
-        s_mean = jnp.sum(s * w_edge) / jnp.maximum(jnp.sum(w_edge), 1e-9)
-        s = s / jnp.maximum(s_mean, 1e-9)
-        t = t / jnp.maximum(s_mean, 1e-9)
+        s = jnp.where(is_metric > 0, 1.0, s)
+        if normalize_gauge:
+            # normalize scale gauge: mean live-edge scale -> 1
+            s_mean = jnp.sum(s * w_edge) / jnp.maximum(jnp.sum(w_edge), 1e-9)
+            s = s / jnp.maximum(s_mean, 1e-9)
+            t = t / jnp.maximum(s_mean, 1e-9)
         target = s[:, None] * u_meas
         resid = (t[edges_b] - t[edges_a]) - target
         e = jnp.linalg.norm(resid, axis=-1)
@@ -147,7 +165,7 @@ def _recover_translations_gn(
         w_rob = jnp.minimum(1.0, k / jnp.maximum(e, 1e-9))
         # First sweeps: plain least squares (let the embedding unfold).
         w_rob = jnp.where(it < iters // 3, 1.0, w_rob)
-        w = w_rob * w_edge
+        w = w_rob * w_edge * w_sigma
 
         # Solve L t = rhs with L = weighted graph Laplacian (x I3).
         def L_mv(x):
@@ -202,10 +220,15 @@ def _recover_translations_gn(
         d_vec = t[edges_b] - t[edges_a]
         dn = jnp.maximum(jnp.linalg.norm(d_vec, axis=-1, keepdims=True), 1e-9)
         d = d_vec / dn
-        r = (d - u_meas) / NOISE_SIGMA
+        sig = sigma_e[:, None]
+        r_dir = (d - u_meas) / sig
+        r_met = (d_vec - u_meas) / sig
+        r = jnp.where(is_metric[:, None] > 0, r_met, r_dir)
         e = jnp.linalg.norm(r, axis=-1)
         w_rob = jnp.minimum(1.0, HUBER_K / jnp.maximum(e, 1e-9)) * w_edge
-        P = (jnp.eye(3) - jnp.einsum("ei,ej->eij", d, d)) / (dn[..., None] * NOISE_SIGMA)
+        P_dir = (jnp.eye(3) - jnp.einsum("ei,ej->eij", d, d)) / (dn[..., None] * sig[..., None])
+        P_met = jnp.eye(3) / sig[..., None]
+        P = jnp.where(is_metric[:, None, None] > 0, P_met, P_dir)
         JtJ_e = jnp.einsum("eki,ekj->eij", P, P) * w_rob[:, None, None]
         Jtr_e = jnp.einsum("eki,ek->ei", P, r) * w_rob[:, None]
         Hd = (
@@ -302,6 +325,9 @@ def run_translation_averaging(
     track_cam_idx: np.ndarray | None = None,  # (T, L) optional track cams
     track_rays: np.ndarray | None = None,  # (T, L, 3) unit rays in CAMERA frame
     track_mask: np.ndarray | None = None,  # (T, L)
+    prior_edges: np.ndarray | None = None,  # (Q, 2) (i1, i2) metric prior edges
+    prior_disp: np.ndarray | None = None,  # (Q, 3) world-frame t_i1 - t_i2
+    prior_sigma: np.ndarray | None = None,  # (Q,) noise sigma per prior
 ) -> TranslationResult:
     """Full 1dSFM: lift to world, MFAS inliers, robust recovery.
 
@@ -309,6 +335,10 @@ def run_translation_averaging(
     join the recovery problem with landmarks as extra unknowns (reference
     averaging_1dsfm.py: track measurements added to TranslationRecovery) —
     they stiffen weakly-connected camera graphs.
+
+    Metric priors (world-frame relative POSITION measurements, the reference's
+    BinaryMeasurementsPoint3 from rig calibration / lidar odometry) join the
+    recovery with full-displacement residuals and fix the scale gauge.
     """
     E = edges.shape[0]
     n = num_images
@@ -335,6 +365,14 @@ def run_translation_averaging(
         d = w_dirs[k].astype(np.float32)
         adj.setdefault(a, []).append((b, d))
         adj.setdefault(b, []).append((a, -d))
+    has_priors = prior_edges is not None and len(prior_edges) > 0
+    if has_priors:
+        for q in range(len(prior_edges)):
+            i1, i2 = int(prior_edges[q, 0]), int(prior_edges[q, 1])
+            d = prior_disp[q].astype(np.float32)  # t_i1 - t_i2
+            adj.setdefault(i2, []).append((i1, d))
+            adj.setdefault(i1, []).append((i2, -d))
+            valid[i1] = valid[i2] = True
     visited = set()
     for root in adj:
         if root in visited:
@@ -378,18 +416,38 @@ def run_translation_averaging(
             t0 = jnp.asarray(t0_np2)
 
     # Edge direction from i2 (a) to i1 (b): u_meas = w_dirs with a=i2, b=i1.
-    ea_np = np.concatenate([edges[:, 1], np.asarray(extra_a, np.int64)]).astype(np.int32)
-    eb_np = np.concatenate([edges[:, 0], np.asarray(extra_b, np.int64)]).astype(np.int32)
+    n_pri = len(prior_edges) if has_priors else 0
+    ea_np = np.concatenate(
+        [edges[:, 1], np.asarray(extra_a, np.int64)]
+        + ([prior_edges[:, 1]] if has_priors else [])
+    ).astype(np.int32)
+    eb_np = np.concatenate(
+        [edges[:, 0], np.asarray(extra_b, np.int64)]
+        + ([prior_edges[:, 0]] if has_priors else [])
+    ).astype(np.int32)
     u_np = np.concatenate(
         [w_dirs.astype(np.float32)]
         + ([np.stack(extra_u)] if extra_u else [])
+        + ([prior_disp.astype(np.float32)] if has_priors else [])
     )
-    w_np = np.concatenate([inliers.astype(np.float32), np.ones(len(extra_a), np.float32)])
+    w_np = np.concatenate(
+        [inliers.astype(np.float32), np.ones(len(extra_a) + n_pri, np.float32)]
+    )
+    is_metric_np = np.zeros(len(ea_np), np.float32)
+    sigma_np = np.full(len(ea_np), NOISE_SIGMA, np.float32)
+    if has_priors:
+        is_metric_np[-n_pri:] = 1.0
+        sigma_np[-n_pri:] = np.asarray(prior_sigma, np.float32)
     ea = jnp.asarray(ea_np)
     eb = jnp.asarray(eb_np)
     u = jnp.asarray(u_np)
     w_in = jnp.asarray(w_np)
-    t = _recover_translations_gn(ea, eb, u, w_in, t0, num_nodes=n_total, iters=150)
+    is_metric = jnp.asarray(is_metric_np)
+    sig_e = jnp.asarray(sigma_np)
+    t = _recover_translations_gn(
+        ea, eb, u, w_in, t0, num_nodes=n_total, iters=150,
+        is_metric=is_metric, sigma_e=sig_e, normalize_gauge=not has_priors,
+    )
 
     # Second rejection pass: MFAS false negatives show up as gross direction
     # residuals after recovery — drop edges off by > 15 degrees and re-polish
@@ -402,11 +460,76 @@ def run_translation_averaging(
     valid[edges[inliers, 0]] = True
     valid[edges[inliers, 1]] = True
     w2 = jnp.asarray(
-        np.concatenate([inliers.astype(np.float32), np.ones(len(extra_a), np.float32)])
+        np.concatenate(
+            [inliers.astype(np.float32), np.ones(len(extra_a) + n_pri, np.float32)]
+        )
     )
     t = _recover_translations_gn(
         ea, eb, u, w2, t, num_nodes=n_total, iters=20, gn_iters=15,
+        is_metric=is_metric, sigma_e=sig_e, normalize_gauge=not has_priors,
     )
     t = np.asarray(t)[:n]
     t = t - t[valid].mean(0, keepdims=True) if valid.any() else t
     return TranslationResult(wti=t, valid=valid, inlier_edges=inliers)
+
+
+# Hilti rig layout (reference rig_1dsfm.py:25 RigTranslationAveraging1DSFM).
+NUM_CAMERAS_IN_RIG = 5
+BODY_FRAME_CAMERA = 2
+VALID_HARD_CONSTRAINT_EDGES = ((0, 2), (1, 2), (2, 3), (2, 4))
+
+
+def run_rig_translation_averaging(
+    num_images: int,
+    edges: np.ndarray,
+    i2Ui1: np.ndarray,
+    wRi: np.ndarray,
+    relative_pose_priors: dict,
+    num_cams_in_rig: int = NUM_CAMERAS_IN_RIG,
+    body_cam: int = BODY_FRAME_CAMERA,
+    **kwargs,
+) -> TranslationResult:
+    """Rig variant of 1dSFM (reference rig_1dsfm.py:25): converts relative
+    Pose3 priors to world-frame relative Point3 priors before recovery.
+
+      * HARD priors (rigid rig calibration) are kept only on the reference's
+        whitelist of intra-rig edges {(0,2),(1,2),(2,3),(2,4)} (camera index
+        within rig) and get a near-constrained noise model.
+      * SOFT priors (lidar odometry) are collapsed to one prior between the
+        BODY_FRAME_CAMERA nodes of the two rigs, sigma = 1e-2.
+
+    ``relative_pose_priors``: {(i1, i2): PosePrior} where the prior stores
+    i1Ti2 (wRi=i1Ri2, wti=i1ti2 — position of camera i2 in camera i1's frame).
+    """
+    from gtsfm_tpu.common.pose_prior import PosePriorType
+
+    R = num_cams_in_rig
+    wRi_np = np.asarray(wRi)
+    pe, pd, ps = [], [], []
+    added = set()
+    for (i1, i2), p in relative_pose_priors.items():
+        # World displacement of camera i2 relative to i1:
+        # w(t_i2 - t_i1) = wRi1 @ i1ti2. A prior row (r0, r1) constrains
+        # t_r0 - t_r1 = disp, so store rows as (i2, i1).
+        w_disp_i2_minus_i1 = wRi_np[i1] @ np.asarray(p.wti)
+        if p.type == PosePriorType.HARD_CONSTRAINT:
+            c1, c2 = i1 % R, i2 % R
+            if (c1, c2) in VALID_HARD_CONSTRAINT_EDGES or (c2, c1) in VALID_HARD_CONSTRAINT_EDGES:
+                pe.append((i2, i1))  # edge rows are (i1, i2) of the MEASURED pair
+                pd.append(w_disp_i2_minus_i1)
+                ps.append(1e-3)
+                added.add((i1, i2))
+        else:
+            r1, r2 = i1 // R, i2 // R
+            b1, b2 = r1 * R + body_cam, r2 * R + body_cam
+            if (b1, b2) in added:
+                continue
+            added.add((b1, b2))
+            pe.append((i2, i1))
+            pd.append(w_disp_i2_minus_i1)
+            ps.append(1e-2)
+    if pe:
+        kwargs["prior_edges"] = np.asarray(pe, np.int64)
+        kwargs["prior_disp"] = np.stack(pd).astype(np.float32)
+        kwargs["prior_sigma"] = np.asarray(ps, np.float32)
+    return run_translation_averaging(num_images, edges, i2Ui1, wRi, **kwargs)

@@ -552,11 +552,19 @@ class SceneOptimizer:
         rays = np.concatenate([xn, np.ones((T_n, max_len, 1), np.float32)], -1)
         rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
 
-        res_t = ta.run_translation_averaging(
-            n, edges, i2Ui1, wRi_est,
+        ta_kwargs = dict(
             num_projections=cfg.multi_view.num_mfas_projections, seed=cfg.seed,
             track_cam_idx=tr_cam, track_rays=rays, track_mask=tr_mask,
         )
+        if hasattr(loader, "rig_from_image") and hasattr(loader, "get_relative_pose_priors"):
+            # Rig datasets: relative pose priors become metric Point3 priors
+            # (reference RigTranslationAveraging1DSFM, rig_1dsfm.py:25).
+            res_t = ta.run_rig_translation_averaging(
+                n, edges, i2Ui1, wRi_est, loader.get_relative_pose_priors(),
+                **ta_kwargs,
+            )
+        else:
+            res_t = ta.run_translation_averaging(n, edges, i2Ui1, wRi_est, **ta_kwargs)
         wti_est = res_t.wti.astype(np.float32)
         g = MetricsGroup("translation_averaging_metrics")
         g.add("num_inlier_edges", int(res_t.inlier_edges.sum()))

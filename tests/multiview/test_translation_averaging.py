@@ -100,3 +100,74 @@ def test_track_measurements_improve_chain_graph(rng):
     e_plain, e_tracks = max_err(res_plain.wti), max_err(res_tracks.wti)
     assert e_tracks < e_plain * 0.8 or e_tracks < 0.15
     assert res_tracks.wti.shape == (8, 3)
+
+
+def make_rig_scene(n_rigs=4, spacing=1.0):
+    """n_rigs 5-camera rigs along a line (Hilti layout): body cam = 2."""
+    R = 5
+    offsets = np.asarray(
+        [[0.12, 0, 0], [-0.12, 0, 0], [0, 0, 0], [0, 0.1, 0], [0, -0.1, 0]],
+        np.float32,
+    )
+    wRi, wti = [], []
+    for r in range(n_rigs):
+        yaw = 0.15 * r
+        c, s = np.cos(yaw), np.sin(yaw)
+        Rb = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        tb = np.asarray([r * spacing, 0.05 * r, 0.0], np.float32)
+        for k in range(R):
+            wRi.append(Rb)
+            wti.append(tb + Rb @ offsets[k])
+    return np.stack(wRi), np.stack(wti)
+
+
+def test_rig_translation_averaging():
+    """Rig variant: metric rig/odometry priors fix structure AND scale
+    (reference RigTranslationAveraging1DSFM, rig_1dsfm.py:25)."""
+    from gtsfm_tpu.common.pose_prior import PosePrior, PosePriorType
+
+    n_rigs, R = 4, 5
+    wRi, wti = make_rig_scene(n_rigs)
+    n = n_rigs * R
+
+    # Direction edges: every camera pair across ADJACENT rigs (no intra-rig
+    # direction edges — tiny baselines are exactly what the rig priors fix).
+    edges = []
+    for r in range(n_rigs - 1):
+        for a in range(R):
+            for b in range(R):
+                edges.append((r * R + a, (r + 1) * R + b))
+    edges = np.asarray(edges, np.int64)
+    _, i2Ui1 = relative_measurements(wRi, wti, edges)
+
+    priors = {}
+    for r in range(n_rigs):
+        for (c1, c2) in ta.VALID_HARD_CONSTRAINT_EDGES:
+            i1, i2 = r * R + c1, r * R + c2
+            priors[(i1, i2)] = PosePrior(
+                wRi=wRi[i1].T @ wRi[i2],
+                wti=wRi[i1].T @ (wti[i2] - wti[i1]),
+                type=PosePriorType.HARD_CONSTRAINT,
+            )
+    for r in range(n_rigs - 1):
+        i1, i2 = r * R + 2, (r + 1) * R + 2  # body cams
+        priors[(i1, i2)] = PosePrior(
+            wRi=wRi[i1].T @ wRi[i2],
+            wti=wRi[i1].T @ (wti[i2] - wti[i1]),
+            type=PosePriorType.SOFT_CONSTRAINT,
+        )
+
+    res = ta.run_rig_translation_averaging(
+        n, edges, i2Ui1, wRi, priors, num_projections=128
+    )
+    assert res.valid.all()
+    # Priors are metric -> recovered scale must be ~1 (not just up-to-Sim3).
+    import jax.numpy as jnp
+    from gtsfm_tpu.geometry import alignment
+
+    s, Rm, tr = alignment.umeyama_sim3(
+        jnp.asarray(res.wti, jnp.float32), jnp.asarray(wti, jnp.float32)
+    )
+    aligned = float(s) * res.wti @ np.asarray(Rm).T + np.asarray(tr)
+    assert np.abs(aligned - wti).max() < 0.05
+    assert abs(float(s) - 1.0) < 0.1, f"metric scale lost: s={float(s)}"
