@@ -704,6 +704,16 @@ class SceneOptimizer:
                 metrics, os.path.join(out, "result_metrics", "gtsfm_metrics_report.html")
             )
             save_process_graph(cfg, os.path.join(out, "plots"))
+            # Interactive 3D web viewer (reference rtf_vis_tool equivalent;
+            # the reference duplicates results into the React app's public
+            # dir, scene_optimizer.py:47-48 — here one standalone HTML).
+            from gtsfm_tpu.visualization.web_viewer import export_web_viewer
+
+            export_web_viewer(
+                os.path.join(out, "ba_output"),
+                os.path.join(out, "viewer.html"),
+                metrics_dir=os.path.join(out, "result_metrics"),
+            )
 
         return ReconstructionResult(
             scene=final, metrics=metrics, wRi_pre_ba=wRi_pre_ba, wti_pre_ba=wti_pre_ba
