@@ -13,7 +13,7 @@ import json
 
 @dataclasses.dataclass
 class FrontendConfig:
-    feature_type: str = "sift"  # sift | superpoint
+    feature_type: str = "sift"  # sift | superpoint | orb | brisk | d2net | disk | loftr
     max_keypoints: int = 4096
     ratio_test: float = 0.8
     matcher_type: str = "mutual_nn"  # mutual_nn | superglue | lightglue
@@ -23,6 +23,8 @@ class FrontendConfig:
     superpoint_checkpoint: str | None = None
     superglue_checkpoint: str | None = None
     lightglue_checkpoint: str | None = None
+    d2net_checkpoint: str | None = None
+    disk_checkpoint: str | None = None
     allow_random_weights: bool = False
 
 

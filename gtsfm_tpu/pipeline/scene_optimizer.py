@@ -105,6 +105,40 @@ class SceneOptimizer:
                 return sp(jnp.asarray(gray[:h8, :w8]))
 
             return detect
+        if cfg.feature_type in ("orb", "brisk"):
+            from gtsfm_tpu.frontend import classical
+
+            fn = (classical.orb_detect_and_describe if cfg.feature_type == "orb"
+                  else classical.brisk_detect_and_describe)
+            return lambda gray: fn(jnp.asarray(gray), max_keypoints=cfg.max_keypoints)
+        if cfg.feature_type in ("d2net", "disk"):
+            if cfg.feature_type == "d2net":
+                from gtsfm_tpu.frontend.deep import d2net as mod
+
+                model = mod.D2Net(max_keypoints=cfg.max_keypoints,
+                                  checkpoint_path=cfg.d2net_checkpoint)
+                div = 4
+            else:
+                from gtsfm_tpu.frontend.deep import disk as mod
+
+                model = mod.Disk(max_keypoints=cfg.max_keypoints,
+                                 checkpoint_path=cfg.disk_checkpoint)
+                div = 16
+            if model.params is None:
+                if not cfg.allow_random_weights:
+                    raise ValueError(
+                        f"{cfg.feature_type} requires a checkpoint or "
+                        "allow_random_weights"
+                    )
+                model.init_random()
+
+            def detect(gray):
+                h = (gray.shape[0] // div) * div
+                w = (gray.shape[1] // div) * div
+                rgb = jnp.repeat(jnp.asarray(gray[:h, :w])[..., None], 3, axis=-1)
+                return model(rgb)
+
+            return detect
         raise ValueError(f"unknown feature_type {cfg.feature_type}")
 
     def compute_features(self, loader: LoaderBase):
@@ -269,9 +303,16 @@ class SceneOptimizer:
             k1 = jnp.stack([feats[a].uv for a, b in pairs])
             k2 = jnp.stack([feats[b].uv for a, b in pairs])
             if fe.matcher_type == "mutual_nn":
-                idx, mm = matching.mutual_nearest_matching(
-                    d1, d2, m1, m2, ratio_test=fe.ratio_test
-                )
+                if fe.feature_type in ("orb", "brisk"):
+                    # Binary descriptors -> Hamming matching (cv2 NORM_HAMMING
+                    # equivalent, one MXU matmul for all pairs).
+                    idx, mm = matching.match_hamming(
+                        d1, d2, m1, m2, ratio_test=fe.ratio_test
+                    )
+                else:
+                    idx, mm = matching.mutual_nearest_matching(
+                        d1, d2, m1, m2, ratio_test=fe.ratio_test
+                    )
             elif fe.matcher_type in ("superglue", "lightglue"):
                 idx, mm = self._deep_match(feats, pairs, d1, d2, k1, k2, m1, m2)
             else:
@@ -397,7 +438,12 @@ class SceneOptimizer:
         tv_key = tv_cache.key(
             key_payload,
             f"{len(pairs)}-{cfg.two_view.num_hypotheses}-"
-            f"{cfg.two_view.estimation_threshold_px}-{cfg.two_view.ba_enabled}-{cfg.seed}",
+            f"{cfg.two_view.estimation_threshold_px}-{cfg.two_view.ba_enabled}-{cfg.seed}-"
+            # Front-end config joins the key: the first-10-keypoints payload
+            # (reference two_view_estimator_cacher.py:19-23) collides when a
+            # config change alters matches but not the top-10 detections.
+            f"{cfg.frontend.feature_type}-{cfg.frontend.max_keypoints}-"
+            f"{cfg.frontend.matcher_type}-{cfg.frontend.ratio_test}",
         )
         hit = tv_cache.load(tv_key)
         if hit is not None:
