@@ -105,6 +105,12 @@ class SceneOptimizer:
                 return sp(jnp.asarray(gray[:h8, :w8]))
 
             return detect
+        if cfg.feature_type == "kaze":
+            from gtsfm_tpu.frontend import kaze
+
+            return lambda gray: kaze.detect_and_describe(
+                jnp.asarray(gray), max_keypoints=cfg.max_keypoints
+            )
         if cfg.feature_type in ("orb", "brisk"):
             from gtsfm_tpu.frontend import classical
 

@@ -16,7 +16,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="gtsfm_tpu reconstruction runner")
     p.add_argument("--dataset_root", required=True)
-    p.add_argument("--loader", default="olsson", choices=["olsson", "colmap", "hilti", "mobilebrick", "astrovision", "onedsfm", "yfcc"])
+    p.add_argument("--loader", default="olsson", choices=["olsson", "colmap", "hilti", "mobilebrick", "astrovision", "onedsfm", "yfcc", "argoverse"])
     p.add_argument("--images_dir", default=None, help="for colmap loader")
     p.add_argument("--max_resolution", type=int, default=760)
     p.add_argument("--max_frame_lookahead", type=int, default=10)
@@ -82,6 +82,10 @@ def main(argv=None) -> int:
             args.dataset_root, max_frame_lookahead=args.max_frame_lookahead,
             max_resolution=args.max_resolution,
         )
+    elif args.loader == "argoverse":
+        from gtsfm_tpu.loader.argoverse import ArgoverseLoader
+
+        loader = ArgoverseLoader(args.dataset_root, max_resolution=args.max_resolution)
     elif args.loader == "onedsfm":
         from gtsfm_tpu.loader.one_d_sfm import OneDSFMLoader
 

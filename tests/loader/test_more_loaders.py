@@ -163,3 +163,33 @@ def test_yfcc_imb_loader():
     assert cal[0] > 100
     R, t = loader.get_camera_pose(0)
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+ARGO = os.path.join(REFERENCE_DATA, "argoverse", "train1")
+
+
+@pytest.mark.skipif(not os.path.isdir(ARGO), reason="argoverse data not mounted")
+def test_argoverse_loader():
+    from gtsfm_tpu.loader.argoverse import ArgoverseLoader
+
+    loader = ArgoverseLoader(ARGO, stride=1, max_num_imgs=5)
+    assert len(loader) == 2
+    cal = loader.get_camera_intrinsics_full_res(0)
+    assert abs(cal[0] - 1392.1) < 1.0  # fx from vehicle_calibration_info.json
+    # First pose re-anchored to identity (reference sets first pose as origin).
+    R0, t0 = loader.get_camera_pose(0)
+    np.testing.assert_allclose(R0, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(t0, np.zeros(3), atol=1e-6)
+    # Second frame is ~3 s later on a moving car: forward translation, and a
+    # valid rotation matrix.
+    R1, t1 = loader.get_camera_pose(1)
+    np.testing.assert_allclose(R1 @ R1.T, np.eye(3), atol=1e-5)
+    assert np.linalg.norm(t1) > 1.0
+    # ring_front_center looks forward: camera z-axis (in the anchored world
+    # frame) must roughly align with the direction of travel.
+    fwd = t1 / np.linalg.norm(t1)
+    assert float(R0[:, 2] @ fwd) > 0.8
+    # Joint rescale keeps aspect + scales intrinsics.
+    img, cal_s = loader.get_image(0)
+    assert max(img.width, img.height) <= 1216
+    assert cal_s[0] < cal[0]
