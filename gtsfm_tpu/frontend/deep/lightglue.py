@@ -10,12 +10,18 @@ thirdparty/LightGlue). Architecture per the paper/official repo:
   update -> per-side linear heads -> double-softmax assignment with learned
   matchability (sigmoid) -> mutual-max + threshold extraction.
 
-Adaptive depth/width (early exit, token pruning) is an inference-time
-optimization in the original; here depth is static (jit-friendly) — the
-accuracy-relevant path is identical to the full-depth original.
+Adaptive depth (the original's early exit): per-layer token-confidence heads
+predict whether embeddings have converged; when the confident fraction
+exceeds ``depth_confidence`` (0.95 default upstream) the remaining layers are
+skipped. Here each layer is its own jitted program and the exit decision is a
+scalar host sync between layers — static shapes everywhere, real compute
+savings. Adaptive WIDTH (token pruning) is intentionally not implemented:
+with fixed-shape attention kernels pruning saves nothing, masks already
+exclude dead tokens.
 
 Weight conversion targets the official ``superpoint_lightglue.pth`` layout
-(transformers.i.self_attn.Wqkv / cross_attn.to_qk / log_assignment ...).
+(transformers.i.self_attn.Wqkv / cross_attn.to_qk / log_assignment /
+token_confidence ...).
 """
 
 from __future__ import annotations
@@ -115,31 +121,76 @@ class CrossBlock(nn.Module):
         return ffn(x0, m0), ffn(x1, m1)
 
 
+def confidence_threshold(layer_index: int, n_layers: int = NUM_LAYERS) -> float:
+    """Per-layer token-confidence threshold (official LightGlue formula)."""
+    return float(np.clip(0.8 + 0.1 * np.exp(-4.0 * layer_index / n_layers), 0, 1))
+
+
 class LightGlueNet(nn.Module):
-    @nn.compact
-    def __call__(self, desc0, desc1, pos0, pos1, mask0, mask1):
-        dh = D_MODEL // NUM_HEADS
-        in_proj = nn.Dense(D_MODEL, name="input_proj")
-        x0 = in_proj(desc0)
-        x1 = in_proj(desc1)
-        freqs = self.param(
-            "rotary_freqs", nn.initializers.normal(1.0), (2, dh // 2)
+    def setup(self):
+        self.input_proj = nn.Dense(D_MODEL)
+        self.freqs = self.param(
+            "rotary_freqs", nn.initializers.normal(1.0),
+            (2, (D_MODEL // NUM_HEADS) // 2),
         )
-        cos0, sin0 = rotary_embed(pos0, freqs)
-        cos1, sin1 = rotary_embed(pos1, freqs)
         for i in range(NUM_LAYERS):
-            sb = SelfBlock(name=f"self{i}")
-            x0 = sb(x0, cos0, sin0, mask0)
-            x1 = sb(x1, cos1, sin1, mask1)
-            x0, x1 = CrossBlock(name=f"cross{i}")(x0, x1, mask0, mask1)
-        final_proj = nn.Dense(D_MODEL, name="final_proj")
-        matchability = nn.Dense(1, name="matchability")
-        md0 = final_proj(x0)
-        md1 = final_proj(x1)
-        z0 = matchability(x0)[..., 0]
-        z1 = matchability(x1)[..., 0]
+            setattr(self, f"self{i}", SelfBlock())
+            setattr(self, f"cross{i}", CrossBlock())
+            if i < NUM_LAYERS - 1:
+                setattr(self, f"token_conf{i}", nn.Dense(1))
+        self.final_proj = nn.Dense(D_MODEL)
+        self.matchability = nn.Dense(1)
+
+    # --- staged methods (drive via apply(..., method=...)) ------------------
+
+    def embed(self, desc0, desc1, pos0, pos1):
+        x0 = self.input_proj(desc0)
+        x1 = self.input_proj(desc1)
+        cos0, sin0 = rotary_embed(pos0, self.freqs)
+        cos1, sin1 = rotary_embed(pos1, self.freqs)
+        return x0, x1, cos0, sin0, cos1, sin1
+
+    def layer(self, i: int, x0, x1, cos0, sin0, cos1, sin1, mask0, mask1):
+        sb = getattr(self, f"self{i}")
+        x0 = sb(x0, cos0, sin0, mask0)
+        x1 = sb(x1, cos1, sin1, mask1)
+        return getattr(self, f"cross{i}")(x0, x1, mask0, mask1)
+
+    def confident_fraction(self, i: int, x0, x1, mask0, mask1):
+        """Fraction of valid tokens whose exit-confidence beats the layer
+        threshold (LightGlue TokenConfidence + check_if_stop)."""
+        head = getattr(self, f"token_conf{i}")
+        c0 = jax.nn.sigmoid(head(x0)[..., 0])
+        c1 = jax.nn.sigmoid(head(x1)[..., 0])
+        th = confidence_threshold(i)
+        n_conf = jnp.sum((c0 > th) * mask0) + jnp.sum((c1 > th) * mask1)
+        n_tot = jnp.maximum(jnp.sum(mask0) + jnp.sum(mask1), 1.0)
+        return n_conf / n_tot
+
+    def heads(self, x0, x1):
+        md0 = self.final_proj(x0)
+        md1 = self.final_proj(x1)
+        z0 = self.matchability(x0)[..., 0]
+        z1 = self.matchability(x1)[..., 0]
         sim = jnp.einsum("bkd,bld->bkl", md0, md1) / (D_MODEL**0.25) ** 2
         return sim, z0, z1
+
+    def __call__(self, desc0, desc1, pos0, pos1, mask0, mask1):
+        """Full static depth (the jit-once fast path for batched matching)."""
+        x0, x1, cos0, sin0, cos1, sin1 = self.embed(desc0, desc1, pos0, pos1)
+        for i in range(NUM_LAYERS):
+            x0, x1 = self.layer(i, x0, x1, cos0, sin0, cos1, sin1, mask0, mask1)
+        return self.heads(x0, x1)
+
+    def init_all(self, desc0, desc1, pos0, pos1, mask0, mask1):
+        """Init-time path touching every submodule (incl. confidence heads)."""
+        x0, x1, cos0, sin0, cos1, sin1 = self.embed(desc0, desc1, pos0, pos1)
+        fracs = []
+        for i in range(NUM_LAYERS):
+            x0, x1 = self.layer(i, x0, x1, cos0, sin0, cos1, sin1, mask0, mask1)
+            if i < NUM_LAYERS - 1:
+                fracs.append(self.confident_fraction(i, x0, x1, mask0, mask1))
+        return self.heads(x0, x1)
 
 
 def assignment_scores(sim, z0, z1, mask0, mask1):
@@ -154,36 +205,91 @@ def assignment_scores(sim, z0, z1, mask0, mask1):
     return ls0 + ls1 + cert0[:, :, None] + cert1[:, None, :]
 
 
+def _extract_matches(sim, z0, z1, mask0, mask1, match_threshold):
+    logP = assignment_scores(sim, z0, z1, mask0, mask1)
+    best12 = jnp.argmax(logP, axis=2)
+    best21 = jnp.argmax(logP, axis=1)
+    k_ids = jnp.arange(logP.shape[1])[None, :]
+    mutual = jnp.take_along_axis(best21, best12, axis=1) == k_ids
+    score = jnp.exp(jnp.take_along_axis(logP, best12[..., None], axis=2)[..., 0])
+    ok = mutual & (score > match_threshold) & (mask0 > 0)
+    ok = ok & (jnp.take_along_axis(mask1, best12, axis=1) > 0)
+    return jnp.where(ok, best12, -1).astype(jnp.int32), ok.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("net",))
+def _run_full(net, params, desc0, desc1, pos0, pos1, mask0, mask1, match_threshold):
+    sim, z0, z1 = net.apply({"params": params}, desc0, desc1, pos0, pos1, mask0, mask1)
+    return _extract_matches(sim, z0, z1, mask0, mask1, match_threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("net", "method", "i"))
+def _apply_jit(net, params, *args, method, i=None):
+    if i is None:
+        return net.apply({"params": params}, *args, method=method)
+    return net.apply({"params": params}, i, *args, method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("net",))
+def _heads_and_extract(net, params, x0, x1, mask0, mask1, match_threshold):
+    sim, z0, z1 = net.apply({"params": params}, x0, x1, method="heads")
+    return _extract_matches(sim, z0, z1, mask0, mask1, match_threshold)
+
+
 class LightGlue:
     def __init__(self, params=None, match_threshold: float = 0.1,
+                 depth_confidence: float | None = None,
                  checkpoint_path: str | None = None):
+        """depth_confidence: enable adaptive depth when set (upstream default
+        0.95); None runs all NUM_LAYERS in one jitted program."""
         self.net = LightGlueNet()
         self.match_threshold = match_threshold
+        self.depth_confidence = depth_confidence
         if params is None and checkpoint_path:
             params = convert_torch_checkpoint(checkpoint_path)
         self.params = params
+        self.last_depth: int | None = None  # layers executed on the last call
 
     def init_random(self, k: int = 32, seed: int = 0):
         z = jnp.zeros((1, k, D_MODEL))
         p = jnp.zeros((1, k, 2))
         m = jnp.ones((1, k))
-        self.params = self.net.init(jax.random.PRNGKey(seed), z, z, p, p, m, m)["params"]
+        self.params = self.net.init(
+            jax.random.PRNGKey(seed), z, z, p, p, m, m, method="init_all"
+        )["params"]
         return self
 
-    @functools.partial(jax.jit, static_argnames=("self",))
     def _run(self, desc0, desc1, pos0, pos1, mask0, mask1):
-        sim, z0, z1 = self.net.apply(
-            {"params": self.params}, desc0, desc1, pos0, pos1, mask0, mask1
+        self.last_depth = NUM_LAYERS
+        return _run_full(
+            self.net, self.params, desc0, desc1, pos0, pos1, mask0, mask1,
+            self.match_threshold,
         )
-        logP = assignment_scores(sim, z0, z1, mask0, mask1)
-        best12 = jnp.argmax(logP, axis=2)
-        best21 = jnp.argmax(logP, axis=1)
-        k_ids = jnp.arange(logP.shape[1])[None, :]
-        mutual = jnp.take_along_axis(best21, best12, axis=1) == k_ids
-        score = jnp.exp(jnp.take_along_axis(logP, best12[..., None], axis=2)[..., 0])
-        ok = mutual & (score > self.match_threshold) & (mask0 > 0)
-        ok = ok & (jnp.take_along_axis(mask1, best12, axis=1) > 0)
-        return jnp.where(ok, best12, -1).astype(jnp.int32), ok.astype(jnp.float32)
+
+    def _run_adaptive(self, desc0, desc1, pos0, pos1, mask0, mask1):
+        """Early-exit inference: one jitted program per layer, scalar host
+        sync between layers (the original's adaptive-depth mechanism)."""
+        x0, x1, cos0, sin0, cos1, sin1 = _apply_jit(
+            self.net, self.params, desc0, desc1, pos0, pos1, method="embed"
+        )
+        depth = NUM_LAYERS
+        for i in range(NUM_LAYERS):
+            x0, x1 = _apply_jit(
+                self.net, self.params, x0, x1, cos0, sin0, cos1, sin1,
+                mask0, mask1, method="layer", i=i,
+            )
+            if i < NUM_LAYERS - 1:
+                frac = float(_apply_jit(
+                    self.net, self.params, x0, x1, mask0, mask1,
+                    method="confident_fraction", i=i,
+                ))
+                if frac > self.depth_confidence:
+                    depth = i + 1
+                    break
+        self.last_depth = depth
+        return _heads_and_extract(
+            self.net, self.params, x0, x1, mask0, mask1, self.match_threshold
+        )
 
     def __call__(self, desc0, desc1, kpts0, kpts1, mask0, mask1,
                  image_shape0, image_shape1):
@@ -192,10 +298,13 @@ class LightGlue:
             size = jnp.asarray([w, h], jnp.float32)
             return (kpts - size / 2.0) / jnp.max(size)
 
-        return self._run(
+        args = (
             desc0, desc1, norm_kpts(kpts0, image_shape0),
             norm_kpts(kpts1, image_shape1), mask0, mask1,
         )
+        if self.depth_confidence is not None:
+            return self._run_adaptive(*args)
+        return self._run(*args)
 
 
 def convert_torch_checkpoint(path: str):
@@ -254,4 +363,14 @@ def convert_torch_checkpoint(path: str):
     last = NUM_LAYERS - 1
     params["final_proj"] = dense(f"log_assignment.{last}.final_proj")
     params["matchability"] = dense(f"log_assignment.{last}.matchability")
+    # Adaptive-depth exit heads (token_confidence.{i}.token.0 = Linear(d, 1)).
+    for i in range(NUM_LAYERS - 1):
+        key = f"token_confidence.{i}.token.0"
+        if f"{key}.weight" in sd:
+            params[f"token_conf{i}"] = dense(key)
+        else:
+            params[f"token_conf{i}"] = {
+                "kernel": np.zeros((D_MODEL, 1), np.float32),
+                "bias": np.zeros(1, np.float32),
+            }
     return jax.tree_util.tree_map(jnp.asarray, params)

@@ -52,3 +52,42 @@ def test_rotary_is_relative(rng):
     dot_a = float(jnp.sum(qa[0, 0] * qa[0, 1]))
     dot_b = float(jnp.sum(qb[0, 0] * qb[0, 1]))
     assert dot_a == pytest.approx(dot_b, abs=1e-3)
+
+
+def test_adaptive_depth_early_exit(rng):
+    """Confidence heads force an exit after layer 1; the adaptive path must
+    record the shallow depth and still emit well-formed matches."""
+    K = 16
+    lg = lightglue.LightGlue(depth_confidence=0.95).init_random(k=K)
+    # Bias every exit head to "confident" (sigmoid(10) ~ 1 > all thresholds).
+    import flax
+
+    p = flax.core.unfreeze(lg.params) if hasattr(flax.core, "unfreeze") else dict(lg.params)
+    for i in range(lightglue.NUM_LAYERS - 1):
+        p[f"token_conf{i}"]["bias"] = jnp.full_like(p[f"token_conf{i}"]["bias"], 10.0)
+    lg.params = p
+
+    desc = jnp.asarray(rng.standard_normal((2, K, lightglue.D_MODEL)), jnp.float32)
+    kpts = jnp.asarray(rng.uniform(0, 100, size=(2, K, 2)), jnp.float32)
+    mask = jnp.ones((1, K))
+    idx, mm = lg(desc[0:1], desc[1:2], kpts[0:1], kpts[1:2], mask, mask, (100, 100), (100, 100))
+    assert lg.last_depth == 1
+    assert idx.shape == (1, K) and mm.shape == (1, K)
+
+    # With unconfident heads the adaptive path runs all layers and must agree
+    # with the static full-depth program exactly.
+    for i in range(lightglue.NUM_LAYERS - 1):
+        p[f"token_conf{i}"]["bias"] = jnp.full_like(p[f"token_conf{i}"]["bias"], -10.0)
+    lg.params = p
+    idx_a, mm_a = lg(desc[0:1], desc[1:2], kpts[0:1], kpts[1:2], mask, mask, (100, 100), (100, 100))
+    assert lg.last_depth == lightglue.NUM_LAYERS
+    lg.depth_confidence = None
+    idx_f, mm_f = lg(desc[0:1], desc[1:2], kpts[0:1], kpts[1:2], mask, mask, (100, 100), (100, 100))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_f))
+    np.testing.assert_array_equal(np.asarray(mm_a), np.asarray(mm_f))
+
+
+def test_confidence_threshold_decreasing():
+    ths = [lightglue.confidence_threshold(i) for i in range(lightglue.NUM_LAYERS)]
+    assert all(a >= b for a, b in zip(ths, ths[1:]))
+    assert 0.8 <= ths[-1] <= ths[0] <= 0.9 + 1e-9
