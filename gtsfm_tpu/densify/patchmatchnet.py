@@ -11,10 +11,11 @@ gtsfm/densify/mvs_patchmatchnet.py:55). Architecture follows the original:
                       - random initialization at the coarsest stage
                       - local perturbation sampling (interval_scale
                         0.025/0.0125/0.005)
-                      - propagation: neighbor depth hypotheses from a dilated
-                        grid (adaptive offsets are a learned conv in the
-                        original; this port uses the fixed dilated grid — the
-                        documented deviation, see NOTE below)
+                      - propagation: ADAPTIVE — a learned conv on reference
+                        features predicts per-pixel deformable offsets added
+                        to the dilated neighbor grid; depth hypotheses are
+                        bilinearly gathered at those positions (propa_conv +
+                        grid_sample in the original, zero-init = fixed grid)
                       - evaluation: differentiable homography warping of src
                         features per depth sample, group-wise correlation
                         (G = 4/8/8), pixel-wise view weights (PixelwiseNet),
@@ -24,10 +25,9 @@ gtsfm/densify/mvs_patchmatchnet.py:55). Architecture follows the original:
                     (net.py:78).
 
 NOTE deviations from the original (kept minimal, each flagged):
-  * adaptive propagation/evaluation offsets (deformable gathers) are replaced
-    by the fixed dilated neighbor grid they are initialized to — the learned
-    offset convs exist in the checkpoint but contribute refinements, not the
-    core behavior; exact porting is planned with weight validation.
+  * adaptive EVALUATION offsets (deformable spatial cost aggregation) are
+    replaced by the fixed grid they are initialized to; adaptive PROPAGATION
+    is ported exactly (learned offset conv + deformable bilinear gather).
   * batch norm is folded (eval mode) into convs at conversion time; the Flax
     graph is conv -> relu.
 
@@ -158,19 +158,60 @@ class SimilarityNet(nn.Module):
         return x[..., 0]  # (D, H, W)
 
 
+_OFFSETS8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+_OFFSETS16 = _OFFSETS8 + [
+    (-2, 0), (2, 0), (0, -2), (0, 2), (-2, -2), (-2, 2), (2, -2), (2, 2)
+]
+
+
 def propagation_hypotheses(depth: jnp.ndarray, dilation: int, num_neighbors: int):
     """Neighbor depth hypotheses from the fixed dilated grid
-    (patchmatch.py Propagation; adaptive offsets deviation noted above).
+    (patchmatch.py Propagation with zero learned offsets).
 
     depth: (H, W) -> (num_neighbors, H, W)."""
-    offsets8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-    offsets16 = offsets8 + [(-2, 0), (2, 0), (0, -2), (0, 2), (-2, -2), (-2, 2), (2, -2), (2, 2)]
-    offs = (offsets8 if num_neighbors <= 8 else offsets16)[:num_neighbors]
+    offs = (_OFFSETS8 if num_neighbors <= 8 else _OFFSETS16)[:num_neighbors]
     outs = []
     for dy, dx in offs:
         outs.append(
             jnp.roll(depth, (dy * dilation, dx * dilation), axis=(0, 1))
         )
+    return jnp.stack(outs)
+
+
+def deformable_gather(depth: jnp.ndarray, offsets: jnp.ndarray,
+                      dilation: int, num_neighbors: int) -> jnp.ndarray:
+    """Adaptive propagation gather (patchmatch.py propa_conv + grid_sample):
+    per-pixel learned 2D offsets are ADDED to the fixed dilated grid and the
+    depth map is sampled bilinearly at those deformable positions.
+
+    depth: (H, W); offsets: (H, W, 2*num_neighbors) as (dy, dx) pairs.
+    Returns (num_neighbors, H, W).
+    """
+    H, W = depth.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=depth.dtype), jnp.arange(W, dtype=depth.dtype),
+        indexing="ij",
+    )
+    base = (_OFFSETS8 if num_neighbors <= 8 else _OFFSETS16)[:num_neighbors]
+    outs = []
+    for k, (dy, dx) in enumerate(base):
+        # Sampling direction matches propagation_hypotheses' roll convention
+        # (out[y, x] = depth[y - dy*dil, x - dx*dil] at zero offsets).
+        sy = yy - (dy * dilation + offsets[..., 2 * k])
+        sx = xx - (dx * dilation + offsets[..., 2 * k + 1])
+        sy = jnp.clip(sy, 0.0, H - 1.001)
+        sx = jnp.clip(sx, 0.0, W - 1.001)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        fy = sy - y0
+        fx = sx - x0
+        d = (
+            depth[y0, x0] * (1 - fy) * (1 - fx)
+            + depth[y0, x0 + 1] * (1 - fy) * fx
+            + depth[y0 + 1, x0] * fy * (1 - fx)
+            + depth[y0 + 1, x0 + 1] * fy * fx
+        )
+        outs.append(d)
     return jnp.stack(outs)
 
 
@@ -218,8 +259,19 @@ class PatchMatchStage(nn.Module):
                 inv_pert = jnp.clip(inv_pert, inv_d_min, inv_d_max)
                 samples = 1.0 / jnp.maximum(inv_pert, 1e-9)
                 if self.propagate_neighbors > 0:
-                    prop = propagation_hypotheses(
-                        depth, self.propagation_dilation, self.propagate_neighbors
+                    # Adaptive propagation: a conv on the reference features
+                    # predicts per-pixel deformable offsets (zero-init ->
+                    # exactly the fixed dilated grid at initialization,
+                    # matching the original's propa_conv semantics).
+                    off = nn.Conv(
+                        2 * self.propagate_neighbors, (3, 3),
+                        kernel_dilation=self.propagation_dilation,
+                        kernel_init=nn.initializers.zeros,
+                        name=f"propa_conv{it}",
+                    )(ref_feat)
+                    prop = deformable_gather(
+                        depth, off, self.propagation_dilation,
+                        self.propagate_neighbors,
                     )
                     samples = jnp.concatenate([samples, prop], axis=0)
 

@@ -86,3 +86,37 @@ def test_full_model_runs(rng):
     d = np.asarray(depth)
     assert np.all(np.isfinite(d))
     assert d.min() >= 2.0 - 1e-3 and d.max() <= 10.0 + 1e-3
+
+
+def test_deformable_gather_zero_offsets_matches_fixed_grid(rng):
+    """Zero learned offsets must reproduce the fixed dilated grid exactly
+    (interior pixels; borders differ: roll wraps, gather clamps)."""
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.densify import patchmatchnet as pm
+
+    depth = jnp.asarray(rng.random((20, 24)), jnp.float32)
+    off = jnp.zeros((20, 24, 16))
+    fixed = pm.propagation_hypotheses(depth, dilation=2, num_neighbors=8)
+    deform = pm.deformable_gather(depth, off, dilation=2, num_neighbors=8)
+    np.testing.assert_allclose(
+        np.asarray(deform)[:, 4:-4, 4:-4], np.asarray(fixed)[:, 4:-4, 4:-4],
+        atol=1e-6,
+    )
+
+
+def test_deformable_gather_offsets_shift_samples(rng):
+    """A +1.0 learned x-offset shifts the gathered hypothesis by one pixel."""
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.densify import patchmatchnet as pm
+
+    depth = jnp.asarray(rng.random((16, 16)), jnp.float32)
+    off = jnp.zeros((16, 16, 2)).at[..., 1].set(1.0)  # (dy=0, dx=+1) for n=1
+    out = pm.deformable_gather(depth, off, dilation=1, num_neighbors=1)
+    # neighbor 0 of the 8-grid is (-1, -1); with dx offset +1 the effective
+    # grid offset becomes (-1, 0) -> roll semantics give roll(depth, (-1, 0)).
+    expected = np.roll(np.asarray(depth), (-1, 0), axis=(0, 1))
+    np.testing.assert_allclose(
+        np.asarray(out[0])[2:-2, 2:-2], expected[2:-2, 2:-2], atol=1e-5
+    )
