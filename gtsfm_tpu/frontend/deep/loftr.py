@@ -1,20 +1,25 @@
 """LoFTR detector-free dense matcher in Flax.
 
 TPU-native port of the LoFTR the reference wraps through kornia
-(gtsfm/frontend/matcher/loftr.py:28). Architecture per the paper / kornia
-implementation:
+(gtsfm/frontend/matcher/loftr.py:28). Architecture follows the official
+release exactly (weight-convertible):
 
-  backbone     ResNet-style FPN: coarse features at 1/8 (256-d), fine
-               features at 1/2 (128-d)
-  pos. enc.    2D sinusoidal added to coarse features
-  coarse LoFTR 4 alternating self/cross LINEAR-attention layers (8 heads,
-               elu(x)+1 feature map — O(N) in the 1/8-grid token count, which
-               is what makes 100+x140 coarse grids feasible)
-  coarse match dual-softmax over the score matrix / temperature 0.1, mutual
-               max + confidence > 0.2 -> top-K fixed-size match set (masked)
-  fine module  5x5 windows from the 1/2-scale features around each coarse
-               match, one self/cross attention layer, center-vector
-               correlation -> softmax heatmap -> expectation (subpixel)
+  backbone     ResNetFPN_8_2: 7x7 s2 stem (128) -> 3 stages of BasicBlocks
+               (128 / 196 / 256) -> FPN top-down; coarse 256-d at 1/8, fine
+               128-d at 1/2. BatchNorms folded into convs at conversion.
+  pos. enc.    interleaved 2D sinusoidal (PositionEncodingSine,
+               temp_bug_fix=True layout: channels 0::4 sin x, 1::4 cos x,
+               2::4 sin y, 3::4 cos y)
+  coarse LoFTR 4x alternating self/cross LINEAR-attention encoder layers
+               (8 heads, elu+1 feature map, O(N) in the 1/8 tokens) —
+               upstream LoFTREncoderLayer: bias-free q/k/v/merge, norm1,
+               bias-free MLP(2d->2d->d) on [x, msg], norm2, residual.
+  coarse match dual-softmax / temperature 0.1, mutual max + conf > 0.2 ->
+               top-K fixed-size match set (masked)
+  fine module  5x5 windows from the 1/2 features around each coarse match,
+               fine_preprocess concatenating down-projected coarse features
+               (down_proj + merge_feat), one self/cross layer (d=128),
+               center-vector correlation -> softmax heatmap -> expectation.
 
 Static shapes throughout: the coarse stage emits exactly ``max_matches``
 matches with a validity mask. Output coordinate convention matches the
@@ -41,59 +46,71 @@ DUAL_SOFTMAX_TEMP = 0.1
 CONF_THRESH = 0.2
 
 
-class ConvBNRelu(nn.Module):
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock, eval-mode BN folded into the convs."""
+
     ch: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride), name="conv")(x)
-        return nn.relu(x)
+        # Explicit torch-style padding: XLA "SAME" pads asymmetrically for
+        # stride-2 convs (2,3) where torch pads (3,3)//2 symmetrically.
+        s = (self.stride, self.stride)
+        p1 = ((1, 1), (1, 1))
+        y = nn.relu(nn.Conv(self.ch, (3, 3), strides=s, padding=p1, name="conv1")(x))
+        y = nn.Conv(self.ch, (3, 3), padding=p1, name="conv2")(y)
+        if self.stride != 1 or x.shape[-1] != self.ch:
+            x = nn.Conv(self.ch, (1, 1), strides=s, name="downsample")(x)
+        return nn.relu(x + y)
 
 
 class Backbone(nn.Module):
-    """Reduced ResNet-FPN: 1/2 fine (128-d) + 1/8 coarse (256-d)."""
+    """ResNetFPN_8_2 (official initial_dim=128, block_dims=[128, 196, 256])."""
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 1)
-        c1 = ConvBNRelu(64, 2, name="c1a")(x)
-        c1 = ConvBNRelu(64, name="c1b")(c1)  # 1/2
-        c2 = ConvBNRelu(96, 2, name="c2a")(c1)
-        c2 = ConvBNRelu(96, name="c2b")(c2)  # 1/4
-        c3 = ConvBNRelu(128, 2, name="c3a")(c2)
-        c3 = ConvBNRelu(128, name="c3b")(c3)  # 1/8
-        coarse = nn.Conv(D_COARSE, (1, 1), name="coarse_out")(c3)
+        x0 = nn.relu(nn.Conv(
+            128, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), name="conv1"
+        )(x))  # 1/2
+        x1 = BasicBlock(128, name="layer1_0")(x0)
+        x1 = BasicBlock(128, name="layer1_1")(x1)  # 1/2
+        x2 = BasicBlock(196, 2, name="layer2_0")(x1)
+        x2 = BasicBlock(196, name="layer2_1")(x2)  # 1/4
+        x3 = BasicBlock(256, 2, name="layer3_0")(x2)
+        x3 = BasicBlock(256, name="layer3_1")(x3)  # 1/8
 
-        # FPN top-down for fine features at 1/2.
         def up2(t, hw):
             B = t.shape[0]
             return jax.image.resize(t, (B, hw[0], hw[1], t.shape[-1]), "bilinear")
 
-        p2 = nn.Conv(96, (1, 1), name="lat2")(c2) + up2(
-            nn.Conv(96, (1, 1), name="top3")(c3), c2.shape[1:3]
-        )
-        p1 = nn.Conv(64, (1, 1), name="lat1")(c1) + up2(
-            nn.Conv(64, (1, 1), name="top2")(p2), c1.shape[1:3]
-        )
-        fine = nn.Conv(D_FINE, (3, 3), name="fine_out")(p1)
+        coarse = nn.Conv(256, (1, 1), name="layer3_outconv")(x3)
+        x2_out = nn.Conv(256, (1, 1), name="layer2_outconv")(x2)
+        x2_out = x2_out + up2(coarse, x2.shape[1:3])
+        x2_out = nn.Conv(256, (3, 3), name="layer2_outconv2_0")(x2_out)
+        x2_out = nn.leaky_relu(x2_out)
+        x2_out = nn.Conv(196, (3, 3), name="layer2_outconv2_1")(x2_out)
+        x1_out = nn.Conv(196, (1, 1), name="layer1_outconv")(x1)
+        x1_out = x1_out + up2(x2_out, x1.shape[1:3])
+        x1_out = nn.Conv(196, (3, 3), name="layer1_outconv2_0")(x1_out)
+        x1_out = nn.leaky_relu(x1_out)
+        fine = nn.Conv(128, (3, 3), name="layer1_outconv2_1")(x1_out)
         return coarse, fine
 
 
 def positional_encoding_2d(h: int, w: int, d: int) -> jnp.ndarray:
-    """Sinusoidal 2D PE (d/4 frequencies per axis/phase)."""
+    """Interleaved sinusoidal 2D PE (upstream PositionEncodingSine,
+    temp_bug_fix=True): channels 0::4 sin(x), 1::4 cos(x), 2::4 sin(y),
+    3::4 cos(y); positions 1-based (cumsum of ones)."""
     d4 = d // 4
-    freqs = jnp.exp(jnp.arange(d4) * (-np.log(10000.0) / d4))
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * freqs[None]
-    xs = jnp.arange(w, dtype=jnp.float32)[:, None] * freqs[None]
-    pe_y = jnp.concatenate([jnp.sin(ys), jnp.cos(ys)], -1)  # (h, d/2)
-    pe_x = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], -1)  # (w, d/2)
-    pe = jnp.concatenate(
-        [
-            jnp.broadcast_to(pe_y[:, None, :], (h, w, d4 * 2)),
-            jnp.broadcast_to(pe_x[None, :, :], (h, w, d4 * 2)),
-        ],
-        axis=-1,
-    )
+    div = jnp.exp(jnp.arange(d4) * 2.0 * (-np.log(10000.0) / (d // 2)))
+    ys = (jnp.arange(h, dtype=jnp.float32) + 1.0)[:, None] * div[None]  # (h, d4)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 1.0)[:, None] * div[None]  # (w, d4)
+    pe = jnp.zeros((h, w, d))
+    pe = pe.at[..., 0::4].set(jnp.broadcast_to(jnp.sin(xs)[None, :, :], (h, w, d4)))
+    pe = pe.at[..., 1::4].set(jnp.broadcast_to(jnp.cos(xs)[None, :, :], (h, w, d4)))
+    pe = pe.at[..., 2::4].set(jnp.broadcast_to(jnp.sin(ys)[:, None, :], (h, w, d4)))
+    pe = pe.at[..., 3::4].set(jnp.broadcast_to(jnp.cos(ys)[:, None, :], (h, w, d4)))
     return pe  # (h, w, d)
 
 
@@ -110,6 +127,8 @@ def linear_attention(q, k, v, kv_mask):
 
 
 class LoFTRAttentionLayer(nn.Module):
+    """Upstream LoFTREncoderLayer: bias-free projections, message-only merge."""
+
     d_model: int
 
     @nn.compact
@@ -120,16 +139,16 @@ class LoFTRAttentionLayer(nn.Module):
         def split(t):
             return t.reshape(B, -1, NUM_HEADS, dh)
 
-        q = split(nn.Dense(self.d_model, name="q_proj")(x))
-        k = split(nn.Dense(self.d_model, name="k_proj")(source))
-        v = split(nn.Dense(self.d_model, name="v_proj")(source))
+        q = split(nn.Dense(self.d_model, use_bias=False, name="q_proj")(x))
+        k = split(nn.Dense(self.d_model, use_bias=False, name="k_proj")(source))
+        v = split(nn.Dense(self.d_model, use_bias=False, name="v_proj")(source))
         msg = linear_attention(q, k, v, source_mask).reshape(B, N, self.d_model)
-        msg = nn.Dense(self.d_model, name="merge")(jnp.concatenate([x, msg], -1))
+        msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg)
         msg = nn.LayerNorm(name="norm1", use_fast_variance=False)(msg)
         y = jnp.concatenate([x, msg], -1)
-        y = nn.Dense(2 * self.d_model, name="mlp1")(y)
+        y = nn.Dense(2 * self.d_model, use_bias=False, name="mlp0")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, name="mlp2")(y)
+        y = nn.Dense(self.d_model, use_bias=False, name="mlp2")(y)
         y = nn.LayerNorm(name="norm2", use_fast_variance=False)(y)
         return x + y
 
@@ -211,7 +230,9 @@ class LoFTRNet(nn.Module):
         k0 = grid_xy(top_idx0)
         k1_coarse = grid_xy(top_idx1)
 
-        # Fine refinement: 5x5 windows in the 1/2-scale feature maps.
+        # Fine preprocess: 5x5 windows in the 1/2-scale maps, concatenated
+        # with down-projected coarse features (upstream FinePreprocess with
+        # cat_c_feat: down_proj + merge_feat).
         def window(feat, centers):
             r = WINDOW // 2
             offs = jnp.stack(
@@ -226,9 +247,18 @@ class LoFTRNet(nn.Module):
 
         w0 = window(f0[0], k0)
         w1 = window(f1[0], k1_coarse)
+        down_proj = nn.Dense(D_FINE, name="down_proj")
+        merge_feat = nn.Dense(D_FINE, name="merge_feat")
+        cf0 = down_proj(t0[0][top_idx0])  # (K, 128)
+        cf1 = down_proj(t1[0][top_idx1])
+        P25 = WINDOW * WINDOW
+        w0 = merge_feat(jnp.concatenate(
+            [w0, jnp.broadcast_to(cf0[:, None], (K, P25, D_FINE))], -1))
+        w1 = merge_feat(jnp.concatenate(
+            [w1, jnp.broadcast_to(cf1[:, None], (K, P25, D_FINE))], -1))
         w0, w1 = FineTransformer(name="fine")(w0, w1)
 
-        center = w0[:, (WINDOW * WINDOW) // 2]  # (K, D)
+        center = w0[:, P25 // 2]  # (K, D)
         sim = jnp.einsum("kd,kpd->kp", center, w1) / (D_FINE**0.5)
         heat = jax.nn.softmax(sim, axis=-1).reshape(-1, WINDOW, WINDOW)
         ys = jnp.sum(heat * jnp.arange(WINDOW)[None, :, None], axis=(1, 2)) - WINDOW // 2
@@ -252,9 +282,7 @@ class LoFTR:
                  checkpoint_path: str | None = None):
         self.net = LoFTRNet(max_matches=max_matches)
         if params is None and checkpoint_path:
-            raise NotImplementedError(
-                "kornia LoFTR checkpoint conversion pending weight validation"
-            )
+            params = convert_torch_checkpoint(checkpoint_path)
         self.params = params
 
     def init_random(self, h: int = 64, w: int = 64, seed: int = 0):
@@ -266,3 +294,98 @@ class LoFTR:
     @functools.partial(jax.jit, static_argnames=("self",))
     def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray) -> LoFTRMatches:
         return self.net.apply({"params": self.params}, img0, img1)
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion (official outdoor_ds.ckpt / kornia layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_checkpoint(path: str):
+    """Official LoFTR checkpoint -> flax params.
+
+    Handles both raw state dicts and lightning checkpoints ({'state_dict':
+    {'matcher.xxx': ...}}). Eval-mode BatchNorms are folded into the
+    preceding convs; torch conv (O, I, kh, kw) -> flax (kh, kw, I, O);
+    torch Linear (O, I) -> flax Dense kernel (I, O).
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.removeprefix("matcher."): v for k, v in sd.items()}
+
+    def conv(prefix, bn_prefix=None):
+        w = sd[f"{prefix}.weight"].numpy()
+        o = w.shape[0]
+        b = sd[f"{prefix}.bias"].numpy() if f"{prefix}.bias" in sd else np.zeros(o, np.float32)
+        if bn_prefix is not None:
+            gamma = sd[f"{bn_prefix}.weight"].numpy()
+            beta = sd[f"{bn_prefix}.bias"].numpy()
+            mean = sd[f"{bn_prefix}.running_mean"].numpy()
+            var = sd[f"{bn_prefix}.running_var"].numpy()
+            s = gamma / np.sqrt(var + 1e-5)
+            w = w * s[:, None, None, None]
+            b = (b - mean) * s + beta
+        return {"kernel": np.transpose(w, (2, 3, 1, 0)), "bias": b}
+
+    def dense(prefix, bias=True):
+        out = {"kernel": np.transpose(sd[f"{prefix}.weight"].numpy(), (1, 0))}
+        if bias and f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"].numpy()
+        return out
+
+    def block(prefix):
+        p = {
+            "conv1": conv(f"{prefix}.conv1", f"{prefix}.bn1"),
+            "conv2": conv(f"{prefix}.conv2", f"{prefix}.bn2"),
+        }
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["downsample"] = conv(f"{prefix}.downsample.0", f"{prefix}.downsample.1")
+        return p
+
+    bb = {
+        "conv1": conv("backbone.conv1", "backbone.bn1"),
+        "layer3_outconv": conv("backbone.layer3_outconv"),
+        "layer2_outconv": conv("backbone.layer2_outconv"),
+        "layer2_outconv2_0": conv("backbone.layer2_outconv2.0", "backbone.layer2_outconv2.1"),
+        "layer2_outconv2_1": conv("backbone.layer2_outconv2.3"),
+        "layer1_outconv": conv("backbone.layer1_outconv"),
+        "layer1_outconv2_0": conv("backbone.layer1_outconv2.0", "backbone.layer1_outconv2.1"),
+        "layer1_outconv2_1": conv("backbone.layer1_outconv2.3"),
+    }
+    for li, name in ((1, "layer1"), (2, "layer2"), (3, "layer3")):
+        for bi in (0, 1):
+            bb[f"{name}_{bi}"] = block(f"backbone.{name}.{bi}")
+
+    def enc_layer(prefix, d):
+        return {
+            "q_proj": dense(f"{prefix}.q_proj", bias=False),
+            "k_proj": dense(f"{prefix}.k_proj", bias=False),
+            "v_proj": dense(f"{prefix}.v_proj", bias=False),
+            "merge": dense(f"{prefix}.merge", bias=False),
+            "mlp0": dense(f"{prefix}.mlp.0", bias=False),
+            "mlp2": dense(f"{prefix}.mlp.2", bias=False),
+            "norm1": {"scale": sd[f"{prefix}.norm1.weight"].numpy(),
+                      "bias": sd[f"{prefix}.norm1.bias"].numpy()},
+            "norm2": {"scale": sd[f"{prefix}.norm2.weight"].numpy(),
+                      "bias": sd[f"{prefix}.norm2.bias"].numpy()},
+        }
+
+    coarse = {}
+    for i in range(COARSE_LAYERS):
+        coarse[f"self{i}"] = enc_layer(f"loftr_coarse.layers.{2 * i}", D_COARSE)
+        coarse[f"cross{i}"] = enc_layer(f"loftr_coarse.layers.{2 * i + 1}", D_COARSE)
+    fine = {
+        "self0": enc_layer("loftr_fine.layers.0", D_FINE),
+        "cross0": enc_layer("loftr_fine.layers.1", D_FINE),
+    }
+    params = {
+        "backbone": bb,
+        "coarse": coarse,
+        "fine": fine,
+        "down_proj": dense("fine_preprocess.down_proj"),
+        "merge_feat": dense("fine_preprocess.merge_feat"),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params)

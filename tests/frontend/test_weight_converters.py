@@ -161,3 +161,103 @@ def test_lightglue_converter_layout(tmp_path):
     idx, mm = lg(d[:1], d[1:], kp[:1], kp[1:],
                  jnp.ones((1, K)), jnp.ones((1, K)), (64, 64), (64, 64))
     assert idx.shape == (1, K)
+
+
+def test_loftr_converter_layout(tmp_path, rng):
+    """Synthetic checkpoint in the official LoFTR (lightning) layout: the
+    converter must fold BNs, map every layer, and the loaded model must run."""
+    from gtsfm_tpu.frontend.deep import loftr as lf_mod
+
+    sd = {}
+
+    def convw(prefix, o, i, k, bias=False):
+        sd[f"{prefix}.weight"] = torch.randn(o, i, k, k) * 0.05
+        if bias:
+            sd[f"{prefix}.bias"] = torch.randn(o) * 0.01
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn(c) * 0.1
+        sd[f"{prefix}.running_mean"] = torch.randn(c) * 0.1
+        sd[f"{prefix}.running_var"] = torch.rand(c) + 0.5
+
+    def lin(prefix, o, i, bias=True):
+        sd[f"{prefix}.weight"] = torch.randn(o, i) * 0.05
+        if bias:
+            sd[f"{prefix}.bias"] = torch.randn(o) * 0.01
+
+    convw("backbone.conv1", 128, 1, 7); bn("backbone.bn1", 128)
+    dims = {1: (128, 128), 2: (196, 128), 3: (256, 196)}
+    for li, (d, d_in) in dims.items():
+        for bi in (0, 1):
+            i_ch = d_in if bi == 0 else d
+            convw(f"backbone.layer{li}.{bi}.conv1", d, i_ch, 3)
+            bn(f"backbone.layer{li}.{bi}.bn1", d)
+            convw(f"backbone.layer{li}.{bi}.conv2", d, d, 3)
+            bn(f"backbone.layer{li}.{bi}.bn2", d)
+            if bi == 0 and li > 1:
+                convw(f"backbone.layer{li}.{bi}.downsample.0", d, i_ch, 1)
+                bn(f"backbone.layer{li}.{bi}.downsample.1", d)
+    convw("backbone.layer3_outconv", 256, 256, 1)
+    convw("backbone.layer2_outconv", 256, 196, 1)
+    convw("backbone.layer2_outconv2.0", 256, 256, 3)
+    bn("backbone.layer2_outconv2.1", 256)
+    convw("backbone.layer2_outconv2.3", 196, 256, 3)
+    convw("backbone.layer1_outconv", 196, 128, 1)
+    convw("backbone.layer1_outconv2.0", 196, 196, 3)
+    bn("backbone.layer1_outconv2.1", 196)
+    convw("backbone.layer1_outconv2.3", 128, 196, 3)
+
+    def enc(prefix, d):
+        lin(f"{prefix}.q_proj", d, d, bias=False)
+        lin(f"{prefix}.k_proj", d, d, bias=False)
+        lin(f"{prefix}.v_proj", d, d, bias=False)
+        lin(f"{prefix}.merge", d, d, bias=False)
+        lin(f"{prefix}.mlp.0", 2 * d, 2 * d, bias=False)
+        lin(f"{prefix}.mlp.2", d, 2 * d, bias=False)
+        sd[f"{prefix}.norm1.weight"] = torch.rand(d)
+        sd[f"{prefix}.norm1.bias"] = torch.randn(d) * 0.1
+        sd[f"{prefix}.norm2.weight"] = torch.rand(d)
+        sd[f"{prefix}.norm2.bias"] = torch.randn(d) * 0.1
+
+    for i in range(8):
+        enc(f"loftr_coarse.layers.{i}", 256)
+    for i in range(2):
+        enc(f"loftr_fine.layers.{i}", 128)
+    lin("fine_preprocess.down_proj", 128, 256)
+    lin("fine_preprocess.merge_feat", 128, 256)
+
+    # Lightning wrapping: 'matcher.' prefix + state_dict envelope.
+    path = str(tmp_path / "outdoor_ds_fake.ckpt")
+    torch.save({"state_dict": {f"matcher.{k}": v for k, v in sd.items()}}, path)
+
+    params = lf_mod.convert_torch_checkpoint(path)
+    model = lf_mod.LoFTR(params=params, max_matches=64)
+    out = model(
+        jnp.asarray(np.random.default_rng(0).random((64, 64)), jnp.float32),
+        jnp.asarray(np.random.default_rng(1).random((64, 64)), jnp.float32),
+    )
+    assert out.kpts0.shape == (64, 2)
+
+    # BN folding numerics: stem conv+bn vs folded flax conv.
+    x = rng.random((1, 1, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(x), sd["backbone.conv1.weight"].float(),
+            None, stride=2, padding=3,
+        )
+        ref = torch.nn.functional.batch_norm(
+            ref, sd["backbone.bn1.running_mean"].float(),
+            sd["backbone.bn1.running_var"].float(),
+            sd["backbone.bn1.weight"].float(), sd["backbone.bn1.bias"].float(),
+            training=False, eps=1e-5,
+        ).numpy()
+    w = np.asarray(params["backbone"]["conv1"]["kernel"])
+    b = np.asarray(params["backbone"]["conv1"]["bias"])
+    out_j = jax.lax.conv_general_dilated(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w), (2, 2),
+        ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), ref, atol=1e-3
+    )
