@@ -80,7 +80,9 @@ def main() -> None:
     from gtsfm_tpu.bundle import ba
 
     scene = build_problem()
-    cfg = ba.BAConfig(max_iterations=30, pcg_iterations=20)
+    cfg = ba.BAConfig(
+        max_iterations=30, pcg_iterations=20, bucket_l=ba.auto_bucket_l(scene)
+    )
 
     # Warmup (compile).
     r = ba.lm_optimize(scene, cfg)

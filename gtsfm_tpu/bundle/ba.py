@@ -65,6 +65,15 @@ class BAConfig(NamedTuple):
     lambda_down: float = 0.5
     lambda_min: float = 1e-10
     lambda_max: float = 1e6
+    # Max measurements per track (static). When set, the dense Schur path
+    # uses the scatter-free bucketed assembly (_schur_solve_dense_bucketed) —
+    # much faster per LM iteration on TPU. Use auto_bucket_l(scene). Must be
+    # >= the true max track length or excess measurements are DROPPED.
+    bucket_l: int | None = None
+    # bf16 storage for the camera-point coupling G (the dominant HBM tensor
+    # in the bucketed Schur reduction); accumulation stays f32. LM's
+    # accept/reject guards against the (tiny) step-quality loss.
+    schur_bf16: bool = True
 
 
 class RelativePosePriors(NamedTuple):
@@ -337,12 +346,12 @@ def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig, prior_bl
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
     mc = scene.meas_cam
-    mt = scene.meas_track
+    # lm_optimize pre-sorts measurements by (track * N + camera) with masked
+    # rows keyed to track T (sorted last), so the track-keyed and grid-keyed
+    # segment sums run in sorted mode; the masked rows' key T*N lands out of
+    # range and is dropped by the scatter (their data is zeroed anyway).
+    mt = jnp.where(scene.meas_mask > 0, scene.meas_track, T)
     D = CAM_DIM
-
-    # lm_optimize pre-sorts measurements by (track * N + camera), so the
-    # track-keyed and grid-keyed segment sums run in sorted mode (the 2M-
-    # segment grid scatter drops ~2x in cost).
     sorted_by_track = True
 
     Hcc = jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", Jc, Jc), mc, num_segments=N)
@@ -403,6 +412,185 @@ def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig, prior_bl
     Hpc_dc = jnp.einsum("tin,n->ti", G, dc.reshape(-1))
     dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
     return dc, dp
+
+
+class _Bucket(NamedTuple):
+    """Per-track (T, L) measurement layout (computed once per solve). Row t
+    holds track t's measurements; the track index is implicit."""
+
+    cam_b: jnp.ndarray  # (T, L) int32 camera per slot
+    uv_b: jnp.ndarray  # (T, L, 2)
+    bmask: jnp.ndarray  # (T, L) {0,1}
+    onehot: jnp.ndarray  # (T, L, N) camera one-hot * bmask
+
+
+def _make_bucket(scene: SceneData, L: int) -> _Bucket:
+    """Build the bucket layout with gathers (no scatters).
+
+    Requires measurements sorted by (track, cam) with masked rows keyed to
+    track T (sorted last) — lm_optimize's sort order.
+    """
+    T = scene.num_tracks_padded
+    N = scene.num_cameras_padded
+    M = scene.meas_cam.shape[0]
+    mt_eff = jnp.where(scene.meas_mask > 0, scene.meas_track, T)
+    start = jnp.searchsorted(mt_eff, jnp.arange(T + 1))
+    counts = start[1:] - start[:-1]  # (T,)
+    l_idx = jnp.arange(L)
+    valid = l_idx[None, :] < counts[:, None]  # (T, L)
+    src = jnp.minimum(start[:-1][:, None] + l_idx[None, :], M - 1).reshape(-1)
+    bmask = valid.astype(scene.meas_uv.dtype)
+    cam_b = scene.meas_cam[src].reshape(T, L) * valid
+    uv_b = scene.meas_uv[src].reshape(T, L, 2) * bmask[..., None]
+    onehot = jax.nn.one_hot(cam_b, N, dtype=scene.meas_uv.dtype) * bmask[..., None]
+    return _Bucket(cam_b=cam_b, uv_b=uv_b, bmask=bmask, onehot=onehot)
+
+
+def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
+                           cam_free: jnp.ndarray):
+    """Residual/Jacobian blocks directly in the (T, L) bucket layout —
+    the point gather disappears entirely (row t IS track t) and no flat
+    intermediates exist for XLA to re-fuse into every consumer.
+
+    Returns r (T*L, 2), Jc (T*L, 2, 9), Jp (T*L, 2, 3), masked + weighted.
+    """
+    T, L = bucket.bmask.shape
+    cam = bucket.cam_b.reshape(-1)
+    wRi = scene.wRi[cam]
+    wti = scene.wti[cam]
+    cal = scene.cal[cam]
+    X = jnp.broadcast_to(scene.points[:, None, :], (T, L, 3)).reshape(-1, 3)
+    uv = bucket.uv_b.reshape(-1, 2)
+
+    r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
+
+    # Invalid slots hold garbage inputs (cam 0 / uv 0 / pad-track points) that
+    # can overflow to inf inside the projection — SELECT to zero before any
+    # multiply (inf * 0 = nan).
+    tmask = jnp.broadcast_to(scene.track_mask[:, None], (T, L)).reshape(-1)
+    live = (bucket.bmask.reshape(-1) * tmask) > 0
+    r = jnp.where(live[:, None], r, 0.0)
+    Jc = jnp.where(live[:, None, None], Jc, 0.0)
+    Jp = jnp.where(live[:, None, None], Jp, 0.0)
+
+    e = jnp.linalg.norm(r, axis=-1)
+    if cfg.robust:
+        w = jnp.minimum(1.0, cfg.huber_k / jnp.maximum(e, 1e-12))
+    else:
+        w = jnp.ones_like(e)
+    w = w * bucket.bmask.reshape(-1) * tmask
+    sw = jnp.sqrt(w)[:, None]
+    r = r * sw
+    Jc = Jc * sw[..., None]
+    Jp = Jp * sw[..., None]
+    col_mask = jnp.ones(CAM_DIM, r.dtype)
+    if not cfg.optimize_calibration:
+        col_mask = col_mask.at[6:9].set(0.0)
+    Jc = Jc * col_mask[None, None, :] * cam_free[cam][:, None, None]
+    # Force materialization: without the barrier XLA fuses this whole block
+    # build into each of the solver's several consumers and recomputes it.
+    return jax.lax.optimization_barrier((r, Jc, Jp))
+
+
+def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAConfig,
+                                prior_blocks=None):
+    """Scatter-free exact reduced-camera solve.
+
+    TPU scatters serialize (the (T*N, 3, 9) grid segment-sum alone costs more
+    than the entire reduction should); this path replaces every scatter with
+    gathers + one-hot matmuls, which run on the MXU at bandwidth:
+
+      bucket     (T, L) per-track layout of the flat measurements — a gather
+      Hcc, bc    one (N x TL) @ (TL x .) matmul against the camera one-hot
+      G          per-track (N x L) @ (L x 27) batched matmul (no grid scatter,
+                 already in (t, 3, n, 9) layout — no transpose)
+      S_red      one (3T x 9N)^T (3T x 9N) MXU contraction
+      Cholesky   9N x 9N
+
+    ~6x faster per LM iteration than the scatter-grid variant on a
+    128-cam / 131k-measurement problem (measured on TPU v5e).
+    """
+    N = scene.num_cameras_padded
+    T = scene.num_tracks_padded
+    D = CAM_DIM
+    onehot = bucket.onehot
+    L = bucket.bmask.shape[1]
+
+    # Blocks arrive already bucketed + masked (from _build_blocks_bucketed).
+    r_f = r
+    Jc_f = Jc
+    Jp_f = Jp
+    Jc_b = Jc_f.reshape(T, L, 2, D)
+    Jp_b = Jp_f.reshape(T, L, 2, 3)
+
+    # optimization_barrier between stages: XLA otherwise fuses producers into
+    # every consumer and recomputes them (measured 1.3-1.6x on this solve).
+    bar = jax.lax.optimization_barrier
+
+    oh2 = onehot.reshape(T * L, N)
+    JJ = bar(jnp.einsum("mki,mkj->mij", Jc_f, Jc_f).reshape(T * L, D * D))
+    Hcc = bar((oh2.T @ JJ).reshape(N, D, D))
+    Jr = jnp.einsum("mki,mk->mi", Jc_f, r_f.reshape(T * L, 2))
+    bc = -(oh2.T @ Jr)  # (N, 9)
+    Hpp = jnp.einsum("tlki,tlkj->tij", Jp_b, Jp_b)
+    bp = -jnp.einsum("tlki,tlk->ti", Jp_b, r_f.reshape(T, L, 2))
+
+    if prior_blocks is not None:
+        rp, Ja, Jb, ea, eb = prior_blocks
+        Hcc = Hcc + jax.ops.segment_sum(jnp.einsum("eki,ekj->eij", Ja, Ja), ea, num_segments=N)
+        Hcc = Hcc + jax.ops.segment_sum(jnp.einsum("eki,ekj->eij", Jb, Jb), eb, num_segments=N)
+        bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Ja, rp), ea, num_segments=N)
+        bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Jb, rp), eb, num_segments=N)
+
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
+    Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
+    Hpp_inv = bar(jnp.linalg.inv(Hpp_d))
+
+    g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+    W = bar(jnp.einsum("tlki,tlkj->tlij", Jp_b, Jc_b))  # (T, L, 3, 9)
+    G = bar(
+        jnp.einsum("tln,tlij->tinj", onehot, W).reshape(T, 3, N * D).astype(g_dtype)
+    )
+    C = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G))
+    S_red = bar(jax.lax.dot_general(
+        G.reshape(T * 3, N * D), C.reshape(T * 3, N * D), (((0,), (0,)), ((), ())),
+        preferred_element_type=r.dtype,
+    ))  # (9N, 9N) f32
+    G = G.astype(r.dtype)
+
+    idx = jnp.arange(N)
+    S4 = jnp.zeros((N, D, N, D), r.dtype).at[idx, :, idx, :].set(Hcc_d)
+    if prior_blocks is not None:
+        rp, Ja, Jb, ea, eb = prior_blocks
+        cross = jnp.einsum("eki,ekj->eij", Ja, Jb)
+        S4 = S4.at[ea, :, eb, :].add(cross)
+        S4 = S4.at[eb, :, ea, :].add(jnp.swapaxes(cross, -1, -2))
+    S = S4.reshape(N * D, N * D) - S_red
+
+    v = bc.reshape(-1) - jnp.einsum("tin,ti->n", G, jnp.einsum("tij,tj->ti", Hpp_inv, bp))
+
+    diag = jnp.diagonal(S)
+    fix = (diag <= 1e-7).astype(r.dtype)
+    S = S + jnp.diag(fix)
+
+    Lf = jax.scipy.linalg.cho_factor(S, lower=True)
+    dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
+    Hpc_dc = jnp.einsum("tin,n->ti", G, dc.reshape(-1))
+    dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
+    return dc, dp
+
+
+def auto_bucket_l(scene: SceneData) -> int:
+    """Max live measurements per track (host-side; pass as BAConfig.bucket_l
+    to enable the scatter-free bucketed Schur path)."""
+    import numpy as _np
+
+    mt = _np.asarray(scene.meas_track)
+    mask = _np.asarray(scene.meas_mask) > 0
+    if not mask.any():
+        return 1
+    counts = _np.bincount(mt[mask], minlength=scene.num_tracks_padded)
+    return max(int(counts.max()), 1)
 
 
 # Dense-Schur size guard: 9N x 9N Cholesky and the (T*N, 3, 9) coupling grid.
@@ -476,8 +664,11 @@ def lm_optimize(
     # Sort measurements by (track * N + camera): the Schur solvers' track- and
     # grid-keyed segment sums then run in sorted mode. The flat measurement
     # order is semantically irrelevant (SoA with explicit indices); the
-    # returned scene keeps the sorted order.
-    order = jnp.argsort(scene.meas_track * N + scene.meas_cam)
+    # returned scene keeps the sorted order. For the bucketed path, masked
+    # rows are keyed to track T so they sort last and fall out of the buckets.
+    T_pad = scene.num_tracks_padded
+    sort_track = jnp.where(scene.meas_mask > 0, scene.meas_track, T_pad)
+    order = jnp.argsort(sort_track * N + scene.meas_cam)
     scene = dataclasses.replace(
         scene,
         meas_cam=scene.meas_cam[order],
@@ -487,6 +678,9 @@ def lm_optimize(
     )
 
     use_dense = _use_dense_schur(scene)
+    bucket = None
+    if use_dense and cfg.bucket_l is not None:
+        bucket = _make_bucket(scene, cfg.bucket_l)
 
     def total_cost(s):
         c = robust_cost(s, cfg.huber_k, cfg.robust)
@@ -498,14 +692,19 @@ def lm_optimize(
 
     def body(carry):
         scene, lam, cost, it, _ = carry
-        r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
         if use_dense:
             pb = None
             if priors is not None:
                 rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
                 pb = (rp, Ja, Jb, priors.edges_a, priors.edges_b)
-            dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
+            if bucket is not None:
+                r, Jc, Jp = _build_blocks_bucketed(scene, bucket, cfg, cam_free)
+                dc, dp = _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene, lam, cfg, pb)
+            else:
+                r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
+                dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
         else:
+            r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
             dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)
         cand = _update_scene(scene, dc, dp)
         if cfg.share_calibration:
@@ -549,8 +748,13 @@ def run_ba_with_filtering(
     (stage count is tiny and static).
     """
     stats = []
-    for thresh in reproj_thresholds_px:
-        result = lm_optimize(scene, cfg, priors=priors)
+    for k, thresh in enumerate(reproj_thresholds_px):
+        # Mixed precision across stages: bf16 coupling for the bulk stages,
+        # full f32 for the FINAL stage so converged accuracy is unaffected.
+        stage_cfg = cfg
+        if k == len(reproj_thresholds_px) - 1 and cfg.schur_bf16:
+            stage_cfg = cfg._replace(schur_bf16=False)
+        result = lm_optimize(scene, stage_cfg, priors=priors)
         scene = result.scene.filter_landmarks(thresh)
         stats.append(
             dict(

@@ -649,6 +649,9 @@ class SceneOptimizer:
         ba_cfg = ba.BAConfig(
             max_iterations=cfg.multi_view.ba_max_iterations,
             optimize_calibration=cfg.multi_view.optimize_calibration,
+            # Scatter-free bucketed Schur path (filtering between stages only
+            # shrinks tracks, so the initial max stays valid).
+            bucket_l=ba.auto_bucket_l(sc),
         )
         ba_priors = None
         if hasattr(loader, "get_relative_pose_priors"):

@@ -176,3 +176,68 @@ def test_analytic_jacobians_match_autodiff(rng):
     np.testing.assert_allclose(np.asarray(r_a)[live], np.asarray(r_d)[live], atol=1e-4)
     np.testing.assert_allclose(np.asarray(Jc_a)[live], np.asarray(Jc_d)[live], rtol=1e-3, atol=1e-2)
     np.testing.assert_allclose(np.asarray(Jp_a)[live], np.asarray(Jp_d)[live], rtol=1e-3, atol=1e-2)
+
+
+def make_ragged_problem(rng, n_cams=8, n_tracks=40, pixel_noise=0.3):
+    """Variable-length tracks + padded scene arrays (bucketing stress)."""
+    sc_full, (wRi, wti, X) = make_ba_problem(rng, n_cams=n_cams, n_tracks=n_tracks,
+                                             pixel_noise=pixel_noise)
+    uv, _ = cameras.project_bundler(
+        jnp.asarray(wRi)[:, None], jnp.asarray(wti)[:, None],
+        jnp.asarray(np.tile(np.asarray([500.0, -0.05, 0.01, 320.0, 240.0], np.float32), (n_cams, 1)))[:, None],
+        jnp.asarray(X)[None],
+    )
+    uv = np.asarray(uv) + pixel_noise * rng.normal(size=uv.shape).astype(np.float32)
+    tracks = []
+    for j in range(n_tracks):
+        length = int(rng.integers(2, n_cams + 1))
+        cams = rng.choice(n_cams, size=length, replace=False)
+        tracks.append([(int(i), uv[i, j]) for i in sorted(cams)])
+    cal = np.tile(np.asarray([500.0, -0.05, 0.01, 320.0, 240.0], np.float32), (n_cams, 1))
+    sc = scene_mod.make_scene(wRi, wti, cal, tracks, pad_tracks_to=64, pad_meas_to=512)
+    pts = np.zeros((64, 3), np.float32)
+    pts[:n_tracks] = X
+    sc = dataclasses.replace(sc, points=jnp.asarray(pts))
+    return sc
+
+
+def test_bucketed_schur_matches_flat(rng):
+    """The scatter-free bucketed dense Schur path must produce the same LM
+    trajectory as the scatter-grid path (same damping, same accepts)."""
+    sc = make_ragged_problem(rng)
+    sc_p = perturb(np.random.default_rng(3), sc, rot_deg=2.0, trans=0.08, pt=0.08)
+    L = ba.auto_bucket_l(sc_p)
+    res_flat = ba.lm_optimize(sc_p, ba.BAConfig(max_iterations=10))
+    res_bkt = ba.lm_optimize(
+        sc_p, ba.BAConfig(max_iterations=10, bucket_l=L, schur_bf16=False)
+    )
+    assert int(res_bkt.iterations) >= 1
+    f_flat, f_bkt = float(res_flat.final_cost), float(res_bkt.final_cost)
+    assert abs(f_flat - f_bkt) < 1e-2 * max(f_flat, 1.0), (f_flat, f_bkt)
+    np.testing.assert_allclose(
+        np.asarray(res_bkt.scene.wti), np.asarray(res_flat.scene.wti), atol=1e-3
+    )
+    # Default bf16 coupling: same converged quality (cost within 1%).
+    res_bf16 = ba.lm_optimize(sc_p, ba.BAConfig(max_iterations=10, bucket_l=L))
+    assert float(res_bf16.final_cost) < 1.01 * f_flat + 1e-6
+
+
+def test_bucketed_recovers_gt(rng):
+    sc, (wRi, wti, X) = make_ba_problem(rng, pixel_noise=0.0)
+    sc_p = perturb(np.random.default_rng(5), sc)
+    res = ba.lm_optimize(
+        sc_p, ba.BAConfig(max_iterations=25, bucket_l=ba.auto_bucket_l(sc_p))
+    )
+    err, _ = res.scene.reprojection_errors()
+    m = res.scene.meas_mask > 0
+    assert float(jnp.where(m, err, 0).sum() / m.sum()) < 0.05
+
+
+def test_auto_bucket_l(rng):
+    sc = make_ragged_problem(rng)
+    L = ba.auto_bucket_l(sc)
+    counts = np.bincount(
+        np.asarray(sc.meas_track)[np.asarray(sc.meas_mask) > 0],
+        minlength=sc.num_tracks_padded,
+    )
+    assert L == counts.max()
