@@ -235,6 +235,14 @@ class PatchMatchStage(nn.Module):
         H, W, C = ref_feat.shape
         S = src_feats.shape[0]
         pixelwise = PixelwiseNet(name="pixelwise")
+        propa_conv = None
+        if self.propagate_neighbors > 0:
+            propa_conv = nn.Conv(
+                2 * self.propagate_neighbors, (3, 3),
+                kernel_dilation=self.propagation_dilation,
+                kernel_init=nn.initializers.zeros,
+                name="propa_conv",
+            )
         similarity = SimilarityNet(name="similarity")
 
         view_w = None
@@ -261,14 +269,10 @@ class PatchMatchStage(nn.Module):
                 if self.propagate_neighbors > 0:
                     # Adaptive propagation: a conv on the reference features
                     # predicts per-pixel deformable offsets (zero-init ->
-                    # exactly the fixed dilated grid at initialization,
-                    # matching the original's propa_conv semantics).
-                    off = nn.Conv(
-                        2 * self.propagate_neighbors, (3, 3),
-                        kernel_dilation=self.propagation_dilation,
-                        kernel_init=nn.initializers.zeros,
-                        name=f"propa_conv{it}",
-                    )(ref_feat)
+                    # exactly the fixed dilated grid at initialization; ONE
+                    # conv shared across iterations, matching the original's
+                    # single propa_conv per stage).
+                    off = propa_conv(ref_feat)
                     prop = deformable_gather(
                         depth, off, self.propagation_dilation,
                         self.propagate_neighbors,
@@ -368,3 +372,92 @@ class PatchmatchNet(nn.Module):
         H, W = ref_img.shape[:2]
         conf_full = jax.image.resize(conf[..., None], (H, W, 1), "bilinear")[..., 0]
         return depth, conf_full
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion (official patchmatchnet.ckpt layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_checkpoint(path: str):
+    """Official PatchmatchNet checkpoint -> flax params.
+
+    Handles lightning checkpoints ({'state_dict' or 'model': ...}) and the
+    'module.' DataParallel prefix. Eval-mode BatchNorms fold into the convs;
+    the reference's 1x1x1 Conv3d score/weight heads map onto our 2D heads
+    (1x1 exactly; where our head uses a 3x3 conv the 1x1 kernel embeds as the
+    center tap, which reproduces the upstream operator exactly).
+
+    NOT mapped (architecture deviation, see module NOTE): eval_conv (adaptive
+    evaluation offsets) and the Refinement deconv/bn/conv2 (our refinement
+    concatenates + convs at full res; torch conv3 (16->8) maps to our conv2).
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu")
+    sd = payload.get("state_dict", payload.get("model", payload))
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+
+    def conv(prefix, bn_prefix=None, pad_to=None):
+        w = sd[f"{prefix}.weight"].numpy()
+        if w.ndim == 5:  # Conv3d 1x1x1 -> 2D
+            w = w[..., 0]
+        o = w.shape[0]
+        b = sd[f"{prefix}.bias"].numpy() if f"{prefix}.bias" in sd else np.zeros(o, np.float32)
+        if bn_prefix is not None:
+            gamma = sd[f"{bn_prefix}.weight"].numpy()
+            beta = sd[f"{bn_prefix}.bias"].numpy()
+            mean = sd[f"{bn_prefix}.running_mean"].numpy()
+            var = sd[f"{bn_prefix}.running_var"].numpy()
+            s = gamma / np.sqrt(var + 1e-5)
+            w = w * s[:, None, None, None]
+            b = (b - mean) * s + beta
+        k = np.transpose(w, (2, 3, 1, 0))  # (kh, kw, I, O)
+        if pad_to is not None and k.shape[0] < pad_to:
+            # Embed a 1x1 torch kernel as the center tap of our KxK conv.
+            full = np.zeros((pad_to, pad_to) + k.shape[2:], k.dtype)
+            full[pad_to // 2, pad_to // 2] = k[0, 0]
+            k = full
+        return {"kernel": k, "bias": b}
+
+    def cbr(prefix, pad_to=None):
+        return {"conv": conv(f"{prefix}.conv", f"{prefix}.bn", pad_to=pad_to)}
+
+    feature = {f"conv{i}": cbr(f"feature.conv{i}") for i in range(11)}
+    feature["output1"] = conv("feature.output1")
+    feature["output2"] = conv("feature.output2")
+    feature["output3"] = conv("feature.output3")
+    feature["inner1"] = conv("feature.inner1")
+    feature["inner2"] = conv("feature.inner2")
+
+    def stage(i):
+        base = f"patchmatch_{i}"
+        p = {
+            "pixelwise": {
+                "conv0": cbr(f"{base}.evaluation.pixel_wise_net.conv0"),
+                "conv1": cbr(f"{base}.evaluation.pixel_wise_net.conv1"),
+                "conv2": conv(f"{base}.evaluation.pixel_wise_net.conv2"),
+            },
+            "similarity": {
+                "conv0": cbr(f"{base}.evaluation.similarity_net.conv0"),
+                "conv1": cbr(f"{base}.evaluation.similarity_net.conv1", pad_to=3),
+                "similarity": conv(f"{base}.evaluation.similarity_net.similarity", pad_to=3),
+            },
+        }
+        if f"{base}.propa_conv.weight" in sd:
+            p["propa_conv"] = conv(f"{base}.propa_conv")
+        return p
+
+    params = {
+        "feature": feature,
+        "patchmatch_1": stage(1),
+        "patchmatch_2": stage(2),
+        "patchmatch_3": stage(3),
+        "refinement": {
+            "conv0": cbr("upsample_net.conv0"),
+            "conv1": cbr("upsample_net.conv1"),
+            "conv2": cbr("upsample_net.conv3"),  # torch conv3: (16 -> 8)
+            "res": conv("upsample_net.res"),
+        },
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params)

@@ -120,3 +120,86 @@ def test_deformable_gather_offsets_shift_samples(rng):
     np.testing.assert_allclose(
         np.asarray(out[0])[2:-2, 2:-2], expected[2:-2, 2:-2], atol=1e-5
     )
+
+
+def test_torch_converter_layout(tmp_path, rng):
+    """Synthetic checkpoint in the official PatchmatchNet layout: converter
+    must fold BNs, embed 1x1 Conv3d heads, and the loaded model must run."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    sd = {}
+
+    def convw(prefix, o, i, k, bias=True, dims=2):
+        shape = (o, i) + (k,) * dims
+        sd[f"{prefix}.weight"] = torch.randn(*shape) * 0.05
+        if bias:
+            sd[f"{prefix}.bias"] = torch.randn(o) * 0.01
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn(c) * 0.1
+        sd[f"{prefix}.running_mean"] = torch.randn(c) * 0.1
+        sd[f"{prefix}.running_var"] = torch.rand(c) + 0.5
+
+    def cbr(prefix, o, i, k):
+        convw(f"{prefix}.conv", o, i, k, bias=False)
+        bn(f"{prefix}.bn", o)
+
+    # FeatureNet (net.py:15): channels/kernels as upstream.
+    specs = [(8, 3, 3), (8, 8, 3), (16, 8, 5), (16, 16, 3), (16, 16, 3),
+             (32, 16, 5), (32, 32, 3), (32, 32, 3), (64, 32, 5), (64, 64, 3),
+             (64, 64, 3)]
+    for idx, (o, i, k) in enumerate(specs):
+        cbr(f"feature.conv{idx}", o, i, k)
+    convw("feature.output1", 64, 64, 1, bias=False)
+    convw("feature.inner1", 64, 32, 1)
+    convw("feature.inner2", 64, 16, 1)
+    convw("feature.output2", 32, 64, 1, bias=False)
+    convw("feature.output3", 16, 64, 1, bias=False)
+
+    # PatchMatch stages: Conv3d 1x1x1 heads + propa_conv (stages 1, 2).
+    for i, G, feat, pn in ((1, 4, 16, 16), (2, 8, 32, 8), (3, 8, 64, 0)):
+        base = f"patchmatch_{i}"
+        for net_name in ("pixel_wise_net", "similarity_net"):
+            cbr_pfx = f"{base}.evaluation.{net_name}"
+            convw(f"{cbr_pfx}.conv0.conv", 16, G, 1, bias=False, dims=3)
+            bn(f"{cbr_pfx}.conv0.bn", 16)
+            convw(f"{cbr_pfx}.conv1.conv", 8, 16, 1, bias=False, dims=3)
+            bn(f"{cbr_pfx}.conv1.bn", 8)
+            last = "conv2" if net_name == "pixel_wise_net" else "similarity"
+            convw(f"{cbr_pfx}.{last}", 1, 8, 1, dims=3)
+        if pn:
+            convw(f"{base}.propa_conv", 2 * pn, feat, 3)
+    # Refinement (upsample_net).
+    cbr("upsample_net.conv0", 8, 3, 3)
+    cbr("upsample_net.conv1", 8, 1, 3)
+    cbr("upsample_net.conv2", 8, 8, 3)
+    convw("upsample_net.deconv", 8, 8, 3, bias=False)  # unused by the port
+    bn("upsample_net.bn", 8)
+    cbr("upsample_net.conv3", 8, 16, 3)
+    convw("upsample_net.res", 1, 8, 3, bias=False)
+
+    path = str(tmp_path / "patchmatchnet_fake.ckpt")
+    torch.save({"state_dict": {f"module.{k}": v for k, v in sd.items()}}, path)
+
+    params = pmn.convert_torch_checkpoint(path)
+    # 1x1 Conv3d heads embedded as center taps where our head is 3x3.
+    k = np.asarray(params["patchmatch_1"]["similarity"]["similarity"]["kernel"])
+    assert k.shape[:2] == (3, 3)
+    assert np.abs(k[0, 0]).max() == 0 and np.abs(k[1, 1]).max() > 0
+
+    # The converted params must drive the real model.
+    net = pmn.PatchmatchNet()
+    H = W = 64
+    ref = jnp.asarray(np.random.default_rng(0).random((H, W, 3)), jnp.float32)
+    srcs = jnp.asarray(np.random.default_rng(1).random((2, H, W, 3)), jnp.float32)
+    K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    sRr = jnp.tile(jnp.eye(3)[None], (2, 1, 1))
+    str_ = jnp.asarray([[0.2, 0, 0], [-0.2, 0, 0]])
+    depth, conf = net.apply(
+        {"params": params}, ref, srcs, K, jnp.tile(K[None], (2, 1, 1)),
+        sRr, str_, 1.0, 10.0,
+    )
+    assert depth.shape == (H, W)
+    assert np.all(np.isfinite(np.asarray(depth)))
