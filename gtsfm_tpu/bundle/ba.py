@@ -447,19 +447,28 @@ def _make_bucket(scene: SceneData, L: int) -> _Bucket:
 
 
 def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
-                           cam_free: jnp.ndarray):
+                           cam_free: jnp.ndarray,
+                           points: jnp.ndarray | None = None,
+                           track_mask: jnp.ndarray | None = None):
     """Residual/Jacobian blocks directly in the (T, L) bucket layout —
     the point gather disappears entirely (row t IS track t) and no flat
     intermediates exist for XLA to re-fuse into every consumer.
 
+    points/track_mask default to the scene's; pass explicit TRACK-SHARDED
+    slices (matching bucket's row range) inside shard_map.
+
     Returns r (T*L, 2), Jc (T*L, 2, 9), Jp (T*L, 2, 3), masked + weighted.
     """
+    if points is None:
+        points = scene.points
+    if track_mask is None:
+        track_mask = scene.track_mask
     T, L = bucket.bmask.shape
     cam = bucket.cam_b.reshape(-1)
     wRi = scene.wRi[cam]
     wti = scene.wti[cam]
     cal = scene.cal[cam]
-    X = jnp.broadcast_to(scene.points[:, None, :], (T, L, 3)).reshape(-1, 3)
+    X = jnp.broadcast_to(points[:, None, :], (T, L, 3)).reshape(-1, 3)
     uv = bucket.uv_b.reshape(-1, 2)
 
     r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
@@ -467,7 +476,7 @@ def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
     # Invalid slots hold garbage inputs (cam 0 / uv 0 / pad-track points) that
     # can overflow to inf inside the projection — SELECT to zero before any
     # multiply (inf * 0 = nan).
-    tmask = jnp.broadcast_to(scene.track_mask[:, None], (T, L)).reshape(-1)
+    tmask = jnp.broadcast_to(track_mask[:, None], (T, L)).reshape(-1)
     live = (bucket.bmask.reshape(-1) * tmask) > 0
     r = jnp.where(live[:, None], r, 0.0)
     Jc = jnp.where(live[:, None, None], Jc, 0.0)

@@ -69,15 +69,123 @@ def pair_sharded_verify(
     return run(keys, x1, x2, mask, thr)
 
 
+def distributed_ba_gn_step_tracksharded(
+    mesh: Mesh,
+    scene: SceneData,
+    bucket_l: int,
+    lam: float = 1e-4,
+    cfg: ba.BAConfig = ba.BAConfig(),
+) -> SceneData:
+    """One damped GN step with TRACKS sharded across the mesh and the
+    scatter-free bucketed Schur assembly per shard.
+
+    Every track's measurements live on one device (the (T, L) bucket layout
+    shards on its leading axis), so the whole reduction needs exactly ONE
+    psum per step — of (Hcc, bc, S_red, v), a few MB — instead of the
+    measurement-sharded path's two collectives per PCG iteration. Hpp and
+    the point back-substitution stay fully local to each shard. This is the
+    production multi-chip BA layout (ICI traffic ~ O(N^2 D^2), independent
+    of the measurement count).
+    """
+    import dataclasses
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    N = scene.num_cameras_padded
+    T = scene.num_tracks_padded
+    D = ba.CAM_DIM
+    assert T % n_dev == 0, "pad tracks to a multiple of mesh size"
+
+    first_live = jnp.argmax(scene.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+
+    # Sort + bucket once per step (replicated; cheap relative to the solve).
+    sort_track = jnp.where(scene.meas_mask > 0, scene.meas_track, T)
+    order = jnp.argsort(sort_track * N + scene.meas_cam)
+    sc_sorted = dataclasses.replace(
+        scene,
+        meas_cam=scene.meas_cam[order], meas_track=scene.meas_track[order],
+        meas_uv=scene.meas_uv[order], meas_mask=scene.meas_mask[order],
+    )
+    bucket = ba._make_bucket(sc_sorted, bucket_l)
+
+    bucket_spec = ba._Bucket(cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot=P(axis))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(bucket_spec, P(axis), P(axis), P()),
+        out_specs=(P(), P(axis)),
+    )
+    def step(bkt, pts, tmask, lam_arr):
+        Tl, L = bkt.bmask.shape
+        r, Jc, Jp = ba._build_blocks_bucketed(
+            sc_sorted, bkt, cfg, cam_free, points=pts, track_mask=tmask
+        )
+        Jc_b = Jc.reshape(Tl, L, 2, D)
+        Jp_b = Jp.reshape(Tl, L, 2, 3)
+        oh2 = bkt.onehot.reshape(Tl * L, N)
+
+        JJ = jnp.einsum("mki,mkj->mij", Jc, Jc).reshape(Tl * L, D * D)
+        Hcc_l = (oh2.T @ JJ).reshape(N, D, D)
+        bc_l = -(oh2.T @ jnp.einsum("mki,mk->mi", Jc, r))
+        Hpp = jnp.einsum("tlki,tlkj->tij", Jp_b, Jp_b)  # local tracks only
+        bp = -jnp.einsum("tlki,tlk->ti", Jp_b, r.reshape(Tl, L, 2))
+
+        lam_v = lam_arr[0]
+        Hpp_d = Hpp + (lam_v * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.PT_DIM)
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        W = jnp.einsum("tlki,tlkj->tlij", Jp_b, Jc_b)
+        G = jnp.einsum("tln,tlij->tinj", bkt.onehot, W).reshape(Tl, 3, N * D)
+        C = jnp.einsum("tij,tjn->tin", Hpp_inv, G)
+        S_red_l = jax.lax.dot_general(
+            G.reshape(Tl * 3, N * D), C.reshape(Tl * 3, N * D),
+            (((0,), (0,)), ((), ())),
+        )
+        v_l = bc_l.reshape(-1) - jnp.einsum(
+            "tin,ti->n", G, jnp.einsum("tij,tj->ti", Hpp_inv, bp)
+        )
+
+        # THE one collective of the step.
+        Hcc, S_red, v = jax.lax.psum((Hcc_l, S_red_l, v_l), axis)
+
+        Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
+        idx = jnp.arange(N)
+        S = jnp.zeros((N, D, N, D), r.dtype).at[idx, :, idx, :].set(Hcc_d)
+        S = S.reshape(N * D, N * D) - S_red
+        S = S + jnp.diag((jnp.diagonal(S) <= 1e-7).astype(S.dtype))
+        Lf = jax.scipy.linalg.cho_factor(S, lower=True)
+        dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
+
+        # Local back-substitution for this shard's points.
+        dp_l = jnp.einsum(
+            "tij,tj->ti", Hpp_inv, bp - jnp.einsum("tin,n->ti", G, dc.reshape(-1))
+        )
+        return dc, dp_l
+
+    dc, dp = step(
+        bucket, sc_sorted.points, sc_sorted.track_mask,
+        jnp.asarray([lam], scene.meas_uv.dtype),
+    )
+    R, t, cal = ba._apply_camera_delta(sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, dc)
+    return dataclasses.replace(
+        sc_sorted, wRi=R, wti=t, cal=cal, points=sc_sorted.points + dp
+    )
+
+
 def distributed_lm_optimize(
     mesh: Mesh,
     scene: SceneData,
     cfg: ba.BAConfig = ba.BAConfig(),
 ) -> tuple[SceneData, dict]:
-    """Full distributed LM loop: each iteration is one psum-Schur GN step
-    (measurement-sharded) with host-side damping/acceptance — the distributed
-    analog of bundle/ba.lm_optimize for problems whose measurements exceed one
+    """Full distributed LM loop with host-side damping/acceptance — the
+    distributed analog of bundle/ba.lm_optimize for problems exceeding one
     chip. Cost evaluation is replicated (cameras/points are small).
+
+    With cfg.bucket_l set, each iteration is the track-sharded bucketed step
+    (one psum per step); otherwise the measurement-sharded psum-Schur PCG.
 
     Returns (optimized scene, stats dict).
     """
@@ -86,7 +194,12 @@ def distributed_lm_optimize(
     cost0 = cost
     accepted = 0
     for it in range(cfg.max_iterations):
-        cand = distributed_ba_gn_step(mesh, scene, lam=lam, cfg=cfg)
+        if cfg.bucket_l is not None:
+            cand = distributed_ba_gn_step_tracksharded(
+                mesh, scene, cfg.bucket_l, lam=lam, cfg=cfg
+            )
+        else:
+            cand = distributed_ba_gn_step(mesh, scene, lam=lam, cfg=cfg)
         new_cost = float(ba.robust_cost(cand, cfg.huber_k, cfg.robust))
         if new_cost < cost:
             scene = cand

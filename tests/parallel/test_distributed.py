@@ -88,3 +88,53 @@ def test_distributed_lm_converges(rng):
         final.wRi, final.wti, jnp.asarray(wRi), jnp.asarray(wti),
         rot_err_thresh_deg=1.0, trans_err_atol=0.1, trans_err_rtol=0.05,
     )
+
+
+def test_tracksharded_step_matches_bucketed_single_device(rng):
+    """Track-sharded bucketed GN step == single-device bucketed dense solve."""
+    mesh = distributed.make_mesh()
+    sc_gt, _ = make_ba_problem(rng, n_cams=4, n_tracks=40, pixel_noise=0.3)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    assert sc0.num_tracks_padded % 8 == 0
+    L = ba.auto_bucket_l(sc0)
+    cfg = ba.BAConfig(schur_bf16=False)
+
+    stepped = distributed.distributed_ba_gn_step_tracksharded(
+        mesh, sc0, L, lam=1e-4, cfg=cfg
+    )
+
+    # Single-device bucketed equivalent.
+    N = sc0.num_cameras_padded
+    T = sc0.num_tracks_padded
+    first_live = jnp.argmax(sc0.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=sc0.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * sc0.camera_mask
+    sort_track = jnp.where(sc0.meas_mask > 0, sc0.meas_track, T)
+    order = jnp.argsort(sort_track * N + sc0.meas_cam)
+    sc_s = dataclasses.replace(
+        sc0, meas_cam=sc0.meas_cam[order], meas_track=sc0.meas_track[order],
+        meas_uv=sc0.meas_uv[order], meas_mask=sc0.meas_mask[order],
+    )
+    bucket = ba._make_bucket(sc_s, L)
+    r, Jc, Jp = ba._build_blocks_bucketed(sc_s, bucket, cfg, cam_free)
+    dc, dp = ba._schur_solve_dense_bucketed(
+        r, Jc, Jp, bucket, sc_s, jnp.asarray(1e-4), cfg
+    )
+    R, t, cal = ba._apply_camera_delta(sc_s.wRi, sc_s.wti, sc_s.cal, dc)
+    np.testing.assert_allclose(np.asarray(stepped.wti), np.asarray(t), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stepped.points), np.asarray(sc_s.points + dp), rtol=1e-3, atol=2e-4
+    )
+
+
+def test_distributed_lm_bucketed_converges(rng):
+    mesh = distributed.make_mesh()
+    sc_gt, _ = make_ba_problem(rng, n_cams=4, n_tracks=40, pixel_noise=0.0)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.5, trans=0.08, pt=0.08)
+    cfg = ba.BAConfig(max_iterations=15, bucket_l=ba.auto_bucket_l(sc0),
+                      schur_bf16=False)
+    sc1, stats = distributed.distributed_lm_optimize(mesh, sc0, cfg)
+    err, _ = sc1.reprojection_errors()
+    m = sc1.meas_mask > 0
+    mean_err = float(jnp.where(m, err, 0).sum() / m.sum())
+    assert mean_err < 0.1, (mean_err, stats)
