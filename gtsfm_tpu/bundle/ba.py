@@ -555,17 +555,17 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
     Hpp_inv = bar(jnp.linalg.inv(Hpp_d))
 
+    # Symmetric square-root reduction: with U U^T = Hpp_inv (batched 3x3
+    # Cholesky) and A = U^T W, the reduced term is S_red = B^T B for B the
+    # one-hot camera expansion of A — ONE symmetric matmul, no separate
+    # Hpp_inv-projected copy, and B is the only dense coupling tensor. The
+    # rhs and the point back-substitution contract against W directly
+    # (per-track, tiny), so the (T, 3, 9N) expansion is needed exactly once.
     g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
     W = bar(jnp.einsum("tlki,tlkj->tlij", Jp_b, Jc_b))  # (T, L, 3, 9)
-    G = bar(
-        jnp.einsum("tln,tlij->tinj", onehot, W).reshape(T, 3, N * D).astype(g_dtype)
-    )
-    C = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G))
-    S_red = bar(jax.lax.dot_general(
-        G.reshape(T * 3, N * D), C.reshape(T * 3, N * D), (((0,), (0,)), ((), ())),
-        preferred_element_type=r.dtype,
-    ))  # (9N, 9N) f32
-    G = G.astype(r.dtype)
+    U = jnp.linalg.cholesky(Hpp_inv)  # (T, 3, 3) lower
+    A = bar(jnp.einsum("tki,tlkj->tlij", U, W))  # U^T W, (T, L, 3, 9)
+    S_red = _sred_onehot(A, onehot, bucket.cam_b, g_dtype, out_dtype=r.dtype)
 
     idx = jnp.arange(N)
     S4 = jnp.zeros((N, D, N, D), r.dtype).at[idx, :, idx, :].set(Hcc_d)
@@ -576,7 +576,11 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
         S4 = S4.at[eb, :, ea, :].add(jnp.swapaxes(cross, -1, -2))
     S = S4.reshape(N * D, N * D) - S_red
 
-    v = bc.reshape(-1) - jnp.einsum("tin,ti->n", G, jnp.einsum("tij,tj->ti", Hpp_inv, bp))
+    # rhs reduction without the dense coupling: y = Hpp_inv bp per track,
+    # z_tl = W_tl^T y_t, scattered to cameras by the one-hot matmul.
+    y = jnp.einsum("tij,tj->ti", Hpp_inv, bp)  # (T, 3)
+    z = jnp.einsum("tlij,ti->tlj", W, y).reshape(T * L, D)
+    v = (bc - oh2.T @ z).reshape(-1)
 
     diag = jnp.diagonal(S)
     fix = (diag <= 1e-7).astype(r.dtype)
@@ -584,9 +588,30 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
 
     Lf = jax.scipy.linalg.cho_factor(S, lower=True)
     dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
-    Hpc_dc = jnp.einsum("tin,n->ti", G, dc.reshape(-1))
+    # Back-substitution without the dense coupling: gather dc at each slot's
+    # camera, contract with W per track.
+    dc_at = dc[bucket.cam_b.reshape(-1)].reshape(T, L, D)
+    Hpc_dc = jnp.einsum("tlij,tlj->ti", W, dc_at)
     dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
     return dc, dp
+
+
+def _sred_onehot(A, onehot, cam_b, g_dtype, out_dtype):
+    """S_red = B^T B with B the one-hot camera expansion of A (T, L, 3, 9).
+
+    The Pallas TPU kernel (ops/pallas_kernels/schur.py) runs when its tiling
+    constraints hold (B then never leaves VMEM); XLA einsum path otherwise.
+    """
+    T, L, _, D = A.shape
+    N = onehot.shape[-1]
+    from gtsfm_tpu.ops.pallas_kernels import schur as schur_kernel
+
+    if schur_kernel.supported(T, L, N, D):
+        return schur_kernel.sred_onehot_n(A, cam_b, N, out_dtype=out_dtype)
+    B = jnp.einsum("tln,tlij->tinj", onehot, A).reshape(T * 3, N * D).astype(g_dtype)
+    return jax.lax.dot_general(
+        B, B, (((0,), (0,)), ((), ())), preferred_element_type=out_dtype
+    )
 
 
 def auto_bucket_l(scene: SceneData) -> int:
