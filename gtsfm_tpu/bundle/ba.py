@@ -555,17 +555,44 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
     Hpp_inv = bar(jnp.linalg.inv(Hpp_d))
 
-    # Symmetric square-root reduction: with U U^T = Hpp_inv (batched 3x3
-    # Cholesky) and A = U^T W, the reduced term is S_red = B^T B for B the
-    # one-hot camera expansion of A — ONE symmetric matmul, no separate
-    # Hpp_inv-projected copy, and B is the only dense coupling tensor. The
-    # rhs and the point back-substitution contract against W directly
-    # (per-track, tiny), so the (T, 3, 9N) expansion is needed exactly once.
+    # Dense coupling G = one-hot camera expansion of W, in bf16 (the dominant
+    # HBM tensor); C = Hpp_inv G; S_red = G^T C as one MXU contraction.
+    # (A symmetric sqrt(Hpp_inv)-folded S_red = B^T B variant with a G-free
+    # rhs/backsubstitution measured ~15% SLOWER end-to-end on v5e — the extra
+    # per-track passes cost more than the saved C array — so the plain G/C
+    # form stays. The opt-in Pallas kernel in ops/pallas_kernels/schur.py
+    # implements the B^T B form with B VMEM-resident.)
     g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
     W = bar(jnp.einsum("tlki,tlkj->tlij", Jp_b, Jc_b))  # (T, L, 3, 9)
-    U = jnp.linalg.cholesky(Hpp_inv)  # (T, 3, 3) lower
-    A = bar(jnp.einsum("tki,tlkj->tlij", U, W))  # U^T W, (T, L, 3, 9)
-    S_red = _sred_onehot(A, onehot, bucket.cam_b, g_dtype, out_dtype=r.dtype)
+    from gtsfm_tpu.ops.pallas_kernels import schur as schur_kernel
+
+    if schur_kernel.supported(T, L, N, D):
+        # Opt-in Pallas path: S_red = B^T B with B = one-hot expansion of
+        # A = chol(Hpp_inv)^T W, VMEM-resident inside the kernel.
+        U = _chol3x3(Hpp_inv)
+        u = lambda k, i: U[:, None, k, i, None]
+        W0, W1, W2 = W[:, :, 0], W[:, :, 1], W[:, :, 2]
+        A = bar(jnp.stack(
+            [
+                u(0, 0) * W0 + u(1, 0) * W1 + u(2, 0) * W2,
+                u(1, 1) * W1 + u(2, 1) * W2,
+                u(2, 2) * W2,
+            ],
+            axis=2,
+        ))
+        S_red = schur_kernel.sred_onehot_n(A, bucket.cam_b, N, out_dtype=r.dtype)
+    else:
+        S_red = None
+    G = bar(
+        jnp.einsum("tln,tlij->tinj", onehot, W).reshape(T, 3, N * D).astype(g_dtype)
+    )
+    if S_red is None:
+        C = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G))
+        S_red = bar(jax.lax.dot_general(
+            G.reshape(T * 3, N * D), C.reshape(T * 3, N * D), (((0,), (0,)), ((), ())),
+            preferred_element_type=r.dtype,
+        ))  # (9N, 9N) f32
+    G = G.astype(r.dtype)
 
     idx = jnp.arange(N)
     S4 = jnp.zeros((N, D, N, D), r.dtype).at[idx, :, idx, :].set(Hcc_d)
@@ -576,11 +603,7 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
         S4 = S4.at[eb, :, ea, :].add(jnp.swapaxes(cross, -1, -2))
     S = S4.reshape(N * D, N * D) - S_red
 
-    # rhs reduction without the dense coupling: y = Hpp_inv bp per track,
-    # z_tl = W_tl^T y_t, scattered to cameras by the one-hot matmul.
-    y = jnp.einsum("tij,tj->ti", Hpp_inv, bp)  # (T, 3)
-    z = jnp.einsum("tlij,ti->tlj", W, y).reshape(T * L, D)
-    v = (bc - oh2.T @ z).reshape(-1)
+    v = bc.reshape(-1) - jnp.einsum("tin,ti->n", G, jnp.einsum("tij,tj->ti", Hpp_inv, bp))
 
     diag = jnp.diagonal(S)
     fix = (diag <= 1e-7).astype(r.dtype)
@@ -588,29 +611,30 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
 
     Lf = jax.scipy.linalg.cho_factor(S, lower=True)
     dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
-    # Back-substitution without the dense coupling: gather dc at each slot's
-    # camera, contract with W per track.
-    dc_at = dc[bucket.cam_b.reshape(-1)].reshape(T, L, D)
-    Hpc_dc = jnp.einsum("tlij,tlj->ti", W, dc_at)
+    Hpc_dc = jnp.einsum("tin,n->ti", G, dc.reshape(-1))
     dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
     return dc, dp
 
 
-def _sred_onehot(A, onehot, cam_b, g_dtype, out_dtype):
-    """S_red = B^T B with B the one-hot camera expansion of A (T, L, 3, 9).
-
-    The Pallas TPU kernel (ops/pallas_kernels/schur.py) runs when its tiling
-    constraints hold (B then never leaves VMEM); XLA einsum path otherwise.
-    """
-    T, L, _, D = A.shape
-    N = onehot.shape[-1]
-    from gtsfm_tpu.ops.pallas_kernels import schur as schur_kernel
-
-    if schur_kernel.supported(T, L, N, D):
-        return schur_kernel.sred_onehot_n(A, cam_b, N, out_dtype=out_dtype)
-    B = jnp.einsum("tln,tlij->tinj", onehot, A).reshape(T * 3, N * D).astype(g_dtype)
-    return jax.lax.dot_general(
-        B, B, (((0,), (0,)), ((), ())), preferred_element_type=out_dtype
+def _chol3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 Cholesky (lower L, L L^T = M). Elementwise —
+    orders of magnitude cheaper than lax.linalg.cholesky's blocked algorithm
+    on huge batches of tiny SPD matrices."""
+    eps = 1e-20
+    l11 = jnp.sqrt(jnp.maximum(M[..., 0, 0], eps))
+    l21 = M[..., 1, 0] / l11
+    l31 = M[..., 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(M[..., 1, 1] - l21 * l21, eps))
+    l32 = (M[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(M[..., 2, 2] - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, z, z], -1),
+            jnp.stack([l21, l22, z], -1),
+            jnp.stack([l31, l32, l33], -1),
+        ],
+        -2,
     )
 
 
