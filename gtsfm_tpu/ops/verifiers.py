@@ -225,6 +225,157 @@ def homography_transfer_error_sq(H, x1, x2):
     return jnp.sum((pred - x2) ** 2, axis=-1)
 
 
+class DegensacResult(NamedTuple):
+    F: jnp.ndarray  # (P, 3, 3)
+    inlier_mask: jnp.ndarray  # (P, N)
+    num_inliers: jnp.ndarray  # (P,)
+    success: jnp.ndarray  # (P,)
+    h_degenerate: jnp.ndarray  # (P,) bool — dominant plane detected
+    H: jnp.ndarray  # (P, 3, 3) dominant-plane homography
+
+
+def _epipole_from_offplane(H, uv1, uv2, w_off):
+    """Epipole e2 from off-plane correspondences (plane-and-parallax).
+
+    Each off-plane correspondence x <-> x' yields a line l = (H x) x x'
+    through the second epipole. e2 = argmin_{|e|=1} sum_i w_i (l_i . e)^2 —
+    the smallest eigenvector of the weighted line scatter matrix.
+    """
+    p1 = epipolar.homogenize(uv1)  # (P, N, 3)
+    p2 = epipolar.homogenize(uv2)
+    Hp1 = jnp.einsum("pij,pnj->pni", H, p1)
+    # Unit-normalize the homogeneous points for conditioning (pixel coords
+    # are O(1e3); the cross product otherwise spans 6 orders of magnitude).
+    Hp1 = Hp1 / jnp.maximum(jnp.linalg.norm(Hp1, axis=-1, keepdims=True), 1e-12)
+    p2n = p2 / jnp.maximum(jnp.linalg.norm(p2, axis=-1, keepdims=True), 1e-12)
+    lines = jnp.cross(Hp1, p2n)  # (P, N, 3)
+    lines = lines / jnp.maximum(jnp.linalg.norm(lines, axis=-1, keepdims=True), 1e-12)
+    A = jnp.einsum("pni,pnj,pn->pij", lines, lines, w_off)  # (P, 3, 3)
+    _, vecs = jnp.linalg.eigh(A)
+    return vecs[..., :, 0]  # (P, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "h_hypotheses", "lo_iterations"),
+)
+def verify_fundamental_degensac_batched(
+    key: jax.Array,
+    uv1: jnp.ndarray,  # (P, N, 2) PIXEL coordinates
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    threshold_px: jnp.ndarray,
+    num_hypotheses: int = 512,
+    h_hypotheses: int = 128,
+    lo_iterations: int = 2,
+    min_inliers: int = 8,
+    degeneracy_fraction: float = 0.8,
+    min_offplane: int = 6,
+) -> DegensacResult:
+    """DEGENSAC: F-matrix RANSAC unaffected by a dominant plane.
+
+    TPU-native replacement for pydegensac (reference
+    gtsfm/frontend/verifier/degensac.py), after Chum/Werner/Matas CVPR'05.
+    The reference's per-sample H-degeneracy test + inner plane-and-parallax
+    loop is re-shaped for fixed-budget batch execution:
+
+      1. hypothesis-parallel 8-point F RANSAC (all P pairs at once);
+      2. RANSAC a homography H over the F-consensus set; the pair is
+         H-degenerate when > ``degeneracy_fraction`` of the F inliers are
+         explained by H (the consensus came from a plane, so F's off-plane
+         epipolar geometry is arbitrary);
+      3. plane-and-parallax recovery: off-plane correspondences each give a
+         line (H x) x x' through the second epipole; e2 = least-squares
+         intersection; F_pp = [e2]_x H;
+      4. local optimization from F_pp's consensus (weighted 8-point refits),
+         keeping the best-supported model.
+
+    Degenerate pairs return the recovered F (when enough off-plane support
+    exists); non-degenerate pairs return the plain RANSAC result untouched.
+    """
+    P, N, _ = uv1.shape
+    thr = jnp.broadcast_to(jnp.asarray(threshold_px, uv1.dtype), (P,))
+    thr_sq = thr**2
+
+    k_f, k_h = jax.random.split(key)
+    base = verify_fundamental_batched(
+        k_f, uv1, uv2, mask, threshold_px,
+        num_hypotheses=num_hypotheses, lo_iterations=lo_iterations,
+        min_inliers=min_inliers,
+    )
+
+    # --- H-degeneracy test over the F-consensus set.
+    keys = jax.random.split(k_h, P)
+    sidx = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, h_hypotheses, 4))(
+        keys, base.inlier_mask
+    )
+    take = lambda pts, idx: jnp.take_along_axis(
+        pts[:, None, :, :].repeat(h_hypotheses, axis=1), idx[..., None], axis=2
+    )
+    H_h = homography_from_four_point(take(uv1, sidx), take(uv2, sidx))
+    e_h = homography_transfer_error_sq(H_h, uv1[:, None], uv2[:, None])
+    # H support counted over the F inliers (the degeneracy question is about
+    # what the F consensus is made of).
+    h_counts = jnp.sum((e_h < thr_sq[:, None, None]) & (base.inlier_mask[:, None, :] > 0), axis=-1)
+    h_best = jnp.argmax(h_counts, axis=-1)
+    H = jnp.take_along_axis(H_h, h_best[:, None, None, None], axis=1)[:, 0]
+    w_h0 = ((jnp.take_along_axis(e_h, h_best[:, None, None], axis=1)[:, 0] < thr_sq[:, None])
+            & (base.inlier_mask > 0)).astype(uv1.dtype)
+    H = homography_from_four_point(uv1, uv2, w_h0)  # LS polish on H inliers
+    e_H = homography_transfer_error_sq(H, uv1, uv2)
+    on_plane = (e_H < thr_sq[:, None]) & (mask > 0)
+    n_h = jnp.sum(on_plane & (base.inlier_mask > 0), axis=-1).astype(uv1.dtype)
+    h_frac = n_h / jnp.maximum(base.num_inliers, 1.0)
+    h_degenerate = (h_frac > degeneracy_fraction) & (n_h >= 4)
+
+    # --- plane-and-parallax: recover F from H + off-plane correspondences.
+    # Off-plane = ALL valid correspondences off the plane (not just the F
+    # consensus — the degenerate F typically missed exactly those points).
+    w_off = (mask * (1.0 - on_plane.astype(uv1.dtype)))
+    n_off = jnp.sum(w_off, axis=-1)
+    e2 = _epipole_from_offplane(H, uv1, uv2, w_off)
+    from gtsfm_tpu.geometry import lie
+
+    F_pp = lie.hat(e2) @ H
+    F_pp = F_pp / jnp.maximum(
+        jnp.linalg.norm(F_pp.reshape(P, 9), axis=-1), 1e-12
+    )[:, None, None]
+    d_pp = epipolar.sampson_distance_sq(F_pp, uv1, uv2)
+    w_pp = ((d_pp < thr_sq[:, None]) & (mask > 0)).astype(uv1.dtype)
+    c_pp = jnp.sum(w_pp, axis=-1)
+
+    def lo(carry, _):
+        F_b, w_b, c_b, w_cur = carry
+        F_new = epipolar.fundamental_from_eight_point(uv1, uv2, w_cur)
+        d = epipolar.sampson_distance_sq(F_new, uv1, uv2)
+        w_new = ((d < thr_sq[:, None]) & (mask > 0)).astype(uv1.dtype)
+        c_new = jnp.sum(w_new, axis=-1)
+        better = c_new > c_b
+        F_b = jnp.where(better[:, None, None], F_new, F_b)
+        w_b = jnp.where(better[:, None], w_new, w_b)
+        c_b = jnp.where(better, c_new, c_b)
+        return (F_b, w_b, c_b, w_new), None
+
+    (F_rec, w_rec, c_rec, _), _ = jax.lax.scan(
+        lo, (F_pp, w_pp, c_pp, w_pp), None, length=max(lo_iterations, 1)
+    )
+
+    # Use the recovery only when the pair is H-degenerate AND there is enough
+    # off-plane evidence to pin the epipole down.
+    use_pp = h_degenerate & (n_off >= min_offplane) & (c_rec >= min_inliers)
+    F_out = jnp.where(use_pp[:, None, None], F_rec, base.F)
+    w_out = jnp.where(use_pp[:, None], w_rec, base.inlier_mask)
+    c_out = jnp.where(use_pp, c_rec, base.num_inliers)
+    return DegensacResult(
+        F=F_out,
+        inlier_mask=w_out,
+        num_inliers=c_out,
+        success=c_out >= min_inliers,
+        h_degenerate=h_degenerate,
+        H=H,
+    )
+
+
 class GRICResult(NamedTuple):
     prefer_fundamental: jnp.ndarray  # (P,) bool — F beats H (non-planar)
     gric_F: jnp.ndarray

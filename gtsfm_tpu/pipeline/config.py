@@ -37,6 +37,11 @@ class TwoViewConfig:
     ba_enabled: bool = True  # 2-view BA refine (reference run_2view :136)
     ba_reproj_thresh_px: float = 0.5  # reference deep_front_end.yaml:42
     ba_iterations: int = 20
+    # GRIC H-vs-E model selection after RANSAC: planar / rotation-only pairs
+    # (homography explains the data better) are rejected, mirroring the
+    # reference's gric_verifier (frontend/verifier/gric_verifier.py:19).
+    degeneracy_check: bool = False
+    gric_sigma_px: float = 1.0
 
 
 @dataclasses.dataclass

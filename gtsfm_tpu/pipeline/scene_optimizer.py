@@ -361,6 +361,23 @@ class SceneOptimizer:
                 min_inlier_ratio=tv.min_inlier_ratio,
             )
 
+        if tv.degeneracy_check:
+            # GRIC H-vs-E selection on normalized coordinates (E acts as the
+            # F of the normalized camera; sigma scales by the mean focal).
+            from gtsfm_tpu.geometry import lie
+            from gtsfm_tpu.ops import verifiers
+
+            E = lie.hat(res.i2Ui1) @ res.i2Ri1
+            g = verifiers.gric_select_batched(
+                jax.random.PRNGKey(self.config.seed + 1), x1n, x2n, cm, E,
+                sigma_px=float(tv.gric_sigma_px) / float(jnp.mean(f_mean)),
+            )
+            res = res._replace(success=res.success & g.prefer_fundamental)
+            logger.info(
+                "GRIC degeneracy gate: %d/%d pairs kept",
+                int(jnp.sum(res.success)), len(pairs),
+            )
+
         if tv.ba_enabled:
             from gtsfm_tpu.twoview import estimator as tv_est
 

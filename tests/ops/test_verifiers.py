@@ -99,6 +99,72 @@ def test_gric_prefers_F_for_general_scene(rng):
     assert bool(g.prefer_fundamental[0])
 
 
+def _make_dominant_plane_scene(rng, n_plane=235, n_off=15, noise_px=0.3):
+    """Two views of a dominant plane + a few off-plane points. Returns pixel
+    correspondences, the off-plane index set, and the GT F."""
+    from gtsfm_tpu.geometry import lie
+
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.04, -0.12, 0.03])))
+    t = np.asarray([0.6, 0.15, 0.1], np.float32)
+    Xp = np.stack([
+        rng.uniform(-2, 2, n_plane), rng.uniform(-2, 2, n_plane),
+        np.full(n_plane, 5.0),
+    ], -1).astype(np.float32)
+    Xo = np.stack([
+        rng.uniform(-2, 2, n_off), rng.uniform(-2, 2, n_off),
+        rng.uniform(2.5, 9.0, n_off),
+    ], -1).astype(np.float32)
+    X1 = np.concatenate([Xp, Xo])
+    X2 = X1 @ R.T + t
+    x1 = X1[:, :2] / X1[:, 2:3]
+    x2 = X2[:, :2] / X2[:, 2:3]
+    f, c = 800.0, 500.0
+    uv1 = x1 * f + c + rng.normal(scale=noise_px, size=x1.shape)
+    uv2 = x2 * f + c + rng.normal(scale=noise_px, size=x2.shape)
+    K = np.asarray([[f, 0, c], [0, f, c], [0, 0, 1.0]], np.float32)
+    E = np.asarray(lie.hat(jnp.asarray(t))) @ R
+    Kinv = np.linalg.inv(K)
+    F_gt = Kinv.T @ E @ Kinv
+    off_idx = np.arange(n_plane, n_plane + n_off)
+    return (
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+        off_idx, jnp.asarray(F_gt, jnp.float32),
+    )
+
+
+def test_degensac_recovers_from_dominant_plane(rng):
+    """94% of points on one plane: degensac must flag H-degeneracy and return
+    an F consistent with the GT epipolar geometry on the OFF-plane points."""
+    uv1, uv2, off_idx, F_gt = _make_dominant_plane_scene(rng)
+    n = uv1.shape[0]
+    res = verifiers.verify_fundamental_degensac_batched(
+        jax.random.PRNGKey(3), uv1[None], uv2[None], jnp.ones((1, n)), 2.0,
+        num_hypotheses=512,
+    )
+    assert bool(res.h_degenerate[0])
+    assert bool(res.success[0])
+    # The recovered F explains the off-plane points.
+    d_off = epipolar.sampson_distance_sq(res.F[0], uv1[off_idx], uv2[off_idx])
+    assert float(jnp.sqrt(d_off).mean()) < 2.0
+    inl = np.asarray(res.inlier_mask[0])
+    assert inl[off_idx].mean() > 0.7
+    assert inl.mean() > 0.9
+
+
+def test_degensac_general_scene_passthrough(rng):
+    """Non-planar scene: no degeneracy flag, result matches plain RANSAC."""
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=150, noise=3e-4)
+    uv1, uv2 = to_pixels(x1), to_pixels(x2)
+    res = verifiers.verify_fundamental_degensac_batched(
+        jax.random.PRNGKey(0), uv1[None], uv2[None], jnp.ones((1, 150)), 3.0,
+        num_hypotheses=256,
+    )
+    assert not bool(res.h_degenerate[0])
+    assert bool(res.success[0])
+    d = epipolar.sampson_distance_sq(res.F[0], uv1, uv2)
+    assert float(jnp.sqrt(d).mean()) < 1.0
+
+
 def test_gric_prefers_H_for_planar_scene(rng):
     """All points on a plane: homography explains the data, F is degenerate."""
     from gtsfm_tpu.geometry import lie
