@@ -1,8 +1,8 @@
-"""PatchmatchNet (Flax) tests: architecture-complete, random init, verified
-on the synthetic textured-plane scene (depth must still be recoverable by the
-coarse random-init + regression machinery? No — random weights give arbitrary
-scores, so these tests check shapes, masking, and differentiable warping
-correctness; accuracy tests belong to the plane-sweep engine)."""
+"""PatchmatchNet (Flax) tests: architecture-complete, random init — checks
+shapes, differentiable warping, the upstream grid-sampling quirk, the
+deformable positions/weights machinery, the ConvTranspose lowering, and the
+official-checkpoint converter (accuracy tests belong to the plane-sweep
+engine; pretrained weights are not shipped in this zero-egress environment)."""
 
 import jax
 import jax.numpy as jnp
@@ -56,12 +56,92 @@ def test_warp_translation_shifts():
     )
 
 
-def test_propagation_hypotheses():
-    d = jnp.arange(12.0).reshape(3, 4)
-    hyp = pmn.propagation_hypotheses(d, dilation=1, num_neighbors=8)
-    assert hyp.shape == (8, 3, 4)
-    # neighbor (0, 1): rolled by +1 column
-    np.testing.assert_allclose(np.asarray(hyp[4][0, 1]), float(d[0, 0]))
+def test_sample_border_matches_torch_grid_sample(rng):
+    """_sample_border must reproduce the upstream propagation/evaluation
+    sampling bit for bit: grid built with align_corners=True normalization,
+    F.grid_sample called with its default align_corners=False + border."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    H, W, C = 13, 17, 3
+    img = rng.random((H, W, C)).astype(np.float32)
+    # Arbitrary fractional positions incl. out-of-range ones.
+    px = rng.uniform(-2, W + 1, size=(50,)).astype(np.float32)
+    py = rng.uniform(-2, H + 1, size=(50,)).astype(np.float32)
+
+    ours = np.asarray(
+        pmn._sample_border(jnp.asarray(img), jnp.asarray(px), jnp.asarray(py))
+    )
+
+    gx = torch.from_numpy(px) / ((W - 1) / 2) - 1
+    gy = torch.from_numpy(py) / ((H - 1) / 2) - 1
+    grid = torch.stack([gx, gy], -1).view(1, 1, -1, 2)
+    t_img = torch.from_numpy(img).permute(2, 0, 1)[None]
+    ref = (
+        F.grid_sample(t_img, grid, mode="bilinear", padding_mode="border")
+        .view(C, -1).T.numpy()
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_deform_positions_zero_offsets():
+    """Zero learned offsets give the fixed dilated grid positions."""
+    H, W = 6, 7
+    base = pmn._prop_base_offsets(8, dilation=2)
+    pos = pmn._deform_positions(base, jnp.zeros((H, W, 16)), H, W)
+    assert pos.shape == (8, H, W, 2)
+    # Neighbor 0 is (dy, dx) = (-2, -2): position = (x - 2, y - 2).
+    np.testing.assert_allclose(np.asarray(pos[0, 3, 4]), [4 - 2, 3 - 2])
+    # Eval offsets include the center at index 4 with dilation-1.
+    ebase = pmn._eval_base_offsets(9, dilation=2)
+    assert ebase[4] == (0, 0)
+    assert ebase[0] == (-1, -1)
+
+
+def test_deform_positions_learned_channel_order():
+    """Learned offset channel 2k is X, 2k+1 is Y (upstream convention)."""
+    H, W = 5, 5
+    learned = jnp.zeros((H, W, 2)).at[..., 0].set(1.5).at[..., 1].set(-0.5)
+    pos = pmn._deform_positions([(0, 0)], learned, H, W)
+    np.testing.assert_allclose(np.asarray(pos[0, 2, 2]), [2 + 1.5, 2 - 0.5])
+
+
+def test_depth_weight_identical_depths_uniform(rng):
+    """All samples at the same depth -> every neighbor gets the max weight
+    sigmoid(4) (differences are zero)."""
+    H, W = 8, 8
+    samples = jnp.full((4, H, W), 5.0)
+    pos = pmn._deform_positions(
+        pmn._eval_base_offsets(9, 2), jnp.zeros((H, W, 18)), H, W
+    )
+    w = pmn._depth_weight(samples, 1.0 / 10.0, 1.0 / 2.0, pos, 0.025)
+    assert w.shape == (4, 9, H, W)
+    np.testing.assert_allclose(np.asarray(w), 1.0 / (1.0 + np.exp(-4.0)), atol=1e-5)
+
+
+def test_transpose_conv_matches_torch(rng):
+    """The Refinement deconv lowering (lhs-dilated conv with flipped kernel)
+    must equal torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    H, W, Ci, Co = 9, 11, 4, 5
+    x = rng.random((H, W, Ci)).astype(np.float32)
+    w = (rng.random((Ci, Co, 3, 3)).astype(np.float32) - 0.5) * 0.2
+
+    ref = F.conv_transpose2d(
+        torch.from_numpy(x).permute(2, 0, 1)[None], torch.from_numpy(w),
+        stride=2, padding=1, output_padding=1,
+    )[0].permute(1, 2, 0).numpy()
+
+    k = np.flip(np.transpose(w, (2, 3, 0, 1)), axis=(0, 1)).copy()
+    ours = jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(k), window_strides=(1, 1),
+        padding=((1, 2), (1, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0]
+    assert ours.shape == (2 * H, 2 * W, Co)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
 
 
 def test_full_model_runs(rng):
@@ -77,6 +157,12 @@ def test_full_model_runs(rng):
         jax.random.PRNGKey(0), ref, srcs, K, Ks, sRr, str_,
         jnp.asarray(2.0), jnp.asarray(10.0),
     )["params"]
+    # Zero-init offset convs -> propa/eval grids start at the fixed grids.
+    assert np.abs(np.asarray(params["patchmatch_3"]["propa_conv"]["kernel"])).max() == 0
+    assert np.abs(np.asarray(params["patchmatch_2"]["eval_conv"]["kernel"])).max() == 0
+    assert "propa_conv" not in params["patchmatch_1"]  # upstream: propagate 0
+    assert "pixelwise" in params["patchmatch_3"]
+    assert "pixelwise" not in params["patchmatch_2"]
     depth, conf = net.apply(
         {"params": params}, ref, srcs, K, Ks, sRr, str_,
         jnp.asarray(2.0), jnp.asarray(10.0),
@@ -85,46 +171,14 @@ def test_full_model_runs(rng):
     assert conf.shape == (H, W)
     d = np.asarray(depth)
     assert np.all(np.isfinite(d))
-    assert d.min() >= 2.0 - 1e-3 and d.max() <= 10.0 + 1e-3
-
-
-def test_deformable_gather_zero_offsets_matches_fixed_grid(rng):
-    """Zero learned offsets must reproduce the fixed dilated grid exactly
-    (interior pixels; borders differ: roll wraps, gather clamps)."""
-    import jax.numpy as jnp
-
-    from gtsfm_tpu.densify import patchmatchnet as pm
-
-    depth = jnp.asarray(rng.random((20, 24)), jnp.float32)
-    off = jnp.zeros((20, 24, 16))
-    fixed = pm.propagation_hypotheses(depth, dilation=2, num_neighbors=8)
-    deform = pm.deformable_gather(depth, off, dilation=2, num_neighbors=8)
-    np.testing.assert_allclose(
-        np.asarray(deform)[:, 4:-4, 4:-4], np.asarray(fixed)[:, 4:-4, 4:-4],
-        atol=1e-6,
-    )
-
-
-def test_deformable_gather_offsets_shift_samples(rng):
-    """A +1.0 learned x-offset shifts the gathered hypothesis by one pixel."""
-    import jax.numpy as jnp
-
-    from gtsfm_tpu.densify import patchmatchnet as pm
-
-    depth = jnp.asarray(rng.random((16, 16)), jnp.float32)
-    off = jnp.zeros((16, 16, 2)).at[..., 1].set(1.0)  # (dy=0, dx=+1) for n=1
-    out = pm.deformable_gather(depth, off, dilation=1, num_neighbors=1)
-    # neighbor 0 of the 8-grid is (-1, -1); with dx offset +1 the effective
-    # grid offset becomes (-1, 0) -> roll semantics give roll(depth, (-1, 0)).
-    expected = np.roll(np.asarray(depth), (-1, 0), axis=(0, 1))
-    np.testing.assert_allclose(
-        np.asarray(out[0])[2:-2, 2:-2], expected[2:-2, 2:-2], atol=1e-5
-    )
+    assert np.all(np.isfinite(np.asarray(conf)))
 
 
 def test_torch_converter_layout(tmp_path, rng):
     """Synthetic checkpoint in the official PatchmatchNet layout: converter
-    must fold BNs, embed 1x1 Conv3d heads, and the loaded model must run."""
+    must fold BNs (incl. the deconv's), map the 1x1x1 Conv3d heads, the
+    per-stage eval/propa offset convs and feature-weight nets, and the loaded
+    params must drive the real model."""
     torch = pytest.importorskip("torch")
     import jax.numpy as jnp
 
@@ -158,24 +212,30 @@ def test_torch_converter_layout(tmp_path, rng):
     convw("feature.output2", 32, 64, 1, bias=False)
     convw("feature.output3", 16, 64, 1, bias=False)
 
-    # PatchMatch stages: Conv3d 1x1x1 heads + propa_conv (stages 1, 2).
-    for i, G, feat, pn in ((1, 4, 16, 16), (2, 8, 32, 8), (3, 8, 64, 0)):
+    # PatchMatch stages (upstream: propagate (0, 8, 16), features (16, 32, 64),
+    # pixel_wise_net only on stage 3; eval_conv + feature_weight_net on all).
+    def head3(prefix, G, last):
+        convw(f"{prefix}.conv0.conv", 16, G, 1, bias=False, dims=3)
+        bn(f"{prefix}.conv0.bn", 16)
+        convw(f"{prefix}.conv1.conv", 8, 16, 1, bias=False, dims=3)
+        bn(f"{prefix}.conv1.bn", 8)
+        convw(f"{prefix}.{last}", 1, 8, 1, dims=3)
+
+    for i, G, feat, pn in ((1, 4, 16, 0), (2, 8, 32, 8), (3, 8, 64, 16)):
         base = f"patchmatch_{i}"
-        for net_name in ("pixel_wise_net", "similarity_net"):
-            cbr_pfx = f"{base}.evaluation.{net_name}"
-            convw(f"{cbr_pfx}.conv0.conv", 16, G, 1, bias=False, dims=3)
-            bn(f"{cbr_pfx}.conv0.bn", 16)
-            convw(f"{cbr_pfx}.conv1.conv", 8, 16, 1, bias=False, dims=3)
-            bn(f"{cbr_pfx}.conv1.bn", 8)
-            last = "conv2" if net_name == "pixel_wise_net" else "similarity"
-            convw(f"{cbr_pfx}.{last}", 1, 8, 1, dims=3)
+        head3(f"{base}.evaluation.similarity_net", G, "similarity")
+        head3(f"{base}.feature_weight_net", G, "similarity")
+        if i == 3:
+            head3(f"{base}.evaluation.pixel_wise_net", G, "conv2")
+        convw(f"{base}.eval_conv", 2 * 9, feat, 3)
         if pn:
             convw(f"{base}.propa_conv", 2 * pn, feat, 3)
-    # Refinement (upsample_net).
+
+    # Refinement (upsample_net) incl. deconv + its BatchNorm.
     cbr("upsample_net.conv0", 8, 3, 3)
     cbr("upsample_net.conv1", 8, 1, 3)
     cbr("upsample_net.conv2", 8, 8, 3)
-    convw("upsample_net.deconv", 8, 8, 3, bias=False)  # unused by the port
+    sd["upsample_net.deconv.weight"] = torch.randn(8, 8, 3, 3) * 0.05  # (I, O, kh, kw)
     bn("upsample_net.bn", 8)
     cbr("upsample_net.conv3", 8, 16, 3)
     convw("upsample_net.res", 1, 8, 3, bias=False)
@@ -184,10 +244,14 @@ def test_torch_converter_layout(tmp_path, rng):
     torch.save({"state_dict": {f"module.{k}": v for k, v in sd.items()}}, path)
 
     params = pmn.convert_torch_checkpoint(path)
-    # 1x1 Conv3d heads embedded as center taps where our head is 3x3.
+    # 1x1 Conv3d heads stay 1x1 (upstream SimilarityNet is all-1x1).
     k = np.asarray(params["patchmatch_1"]["similarity"]["similarity"]["kernel"])
-    assert k.shape[:2] == (3, 3)
-    assert np.abs(k[0, 0]).max() == 0 and np.abs(k[1, 1]).max() > 0
+    assert k.shape[:2] == (1, 1)
+    assert "propa_conv" not in params["patchmatch_1"]
+    assert params["patchmatch_3"]["propa_conv"]["kernel"].shape == (3, 3, 64, 32)
+    assert params["patchmatch_2"]["eval_conv"]["kernel"].shape == (3, 3, 32, 18)
+    assert "pixelwise" in params["patchmatch_3"]
+    assert params["refinement"]["deconv"]["kernel"].shape == (3, 3, 8, 8)
 
     # The converted params must drive the real model.
     net = pmn.PatchmatchNet()
@@ -199,7 +263,8 @@ def test_torch_converter_layout(tmp_path, rng):
     str_ = jnp.asarray([[0.2, 0, 0], [-0.2, 0, 0]])
     depth, conf = net.apply(
         {"params": params}, ref, srcs, K, jnp.tile(K[None], (2, 1, 1)),
-        sRr, str_, 1.0, 10.0,
+        sRr, str_, jnp.asarray(2.0), jnp.asarray(8.0),
     )
     assert depth.shape == (H, W)
     assert np.all(np.isfinite(np.asarray(depth)))
+    assert np.all(np.isfinite(np.asarray(conf)))
