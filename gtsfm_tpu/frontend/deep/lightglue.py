@@ -13,11 +13,18 @@ thirdparty/LightGlue). Architecture per the paper/official repo:
 Adaptive depth (the original's early exit): per-layer token-confidence heads
 predict whether embeddings have converged; when the confident fraction
 exceeds ``depth_confidence`` (0.95 default upstream) the remaining layers are
-skipped. Here each layer is its own jitted program and the exit decision is a
-scalar host sync between layers — static shapes everywhere, real compute
-savings. Adaptive WIDTH (token pruning) is intentionally not implemented:
-with fixed-shape attention kernels pruning saves nothing, masks already
-exclude dead tokens.
+skipped, and the ASSIGNMENT HEAD OF THE EXIT LAYER produces the matches (the
+original's per-layer log_assignment list). Here each layer is its own jitted
+program and the exit decision is a scalar host sync between layers — static
+shapes everywhere, real compute savings.
+
+Adaptive width (the original's point pruning, get_pruning_mask): tokens that
+are confident AND unmatchable (matchability <= 1 - width_confidence, 0.99
+default upstream) are removed from later layers. With fixed-shape attention
+this is realized by host-synced BUCKET COMPACTION: kept tokens are gathered
+to the front and the token axis shrinks to the next multiple of 128, so the
+remaining layers genuinely run on fewer tokens (bounded recompile set thanks
+to the bucket quantization); pruned points are unmatchable, as upstream.
 
 Weight conversion targets the official ``superpoint_lightglue.pth`` layout
 (transformers.i.self_attn.Wqkv / cross_attn.to_qk / log_assignment /
@@ -138,6 +145,11 @@ class LightGlueNet(nn.Module):
             setattr(self, f"cross{i}", CrossBlock())
             if i < NUM_LAYERS - 1:
                 setattr(self, f"token_conf{i}", nn.Dense(1))
+                # Per-layer assignment heads (upstream log_assignment.{i}):
+                # used for matching on early exit AND for the matchability
+                # scores that drive point pruning.
+                setattr(self, f"final_proj{i}", nn.Dense(D_MODEL))
+                setattr(self, f"matchability{i}", nn.Dense(1))
         self.final_proj = nn.Dense(D_MODEL)
         self.matchability = nn.Dense(1)
 
@@ -175,6 +187,31 @@ class LightGlueNet(nn.Module):
         sim = jnp.einsum("bkd,bld->bkl", md0, md1) / (D_MODEL**0.25) ** 2
         return sim, z0, z1
 
+    def heads_at(self, i: int, x0, x1):
+        """Assignment head of layer i (upstream self.log_assignment[i],
+        used when adaptive depth exits early)."""
+        if i >= NUM_LAYERS - 1:
+            return self.heads(x0, x1)
+        fp = getattr(self, f"final_proj{i}")
+        mt = getattr(self, f"matchability{i}")
+        md0 = fp(x0)
+        md1 = fp(x1)
+        z0 = mt(x0)[..., 0]
+        z1 = mt(x1)[..., 0]
+        sim = jnp.einsum("bkd,bld->bkl", md0, md1) / (D_MODEL**0.25) ** 2
+        return sim, z0, z1
+
+    def prune_scores(self, i: int, x0, x1):
+        """Token exit-confidence + matchability of layer i (the two signals
+        of upstream get_pruning_mask). Returns (conf0, conf1, m0, m1)."""
+        head = getattr(self, f"token_conf{i}")
+        conf0 = jax.nn.sigmoid(head(x0)[..., 0])
+        conf1 = jax.nn.sigmoid(head(x1)[..., 0])
+        mt = getattr(self, f"matchability{i}")
+        m0 = jax.nn.sigmoid(mt(x0)[..., 0])
+        m1 = jax.nn.sigmoid(mt(x1)[..., 0])
+        return conf0, conf1, m0, m1
+
     def __call__(self, desc0, desc1, pos0, pos1, mask0, mask1):
         """Full static depth (the jit-once fast path for batched matching)."""
         x0, x1, cos0, sin0, cos1, sin1 = self.embed(desc0, desc1, pos0, pos1)
@@ -190,6 +227,8 @@ class LightGlueNet(nn.Module):
             x0, x1 = self.layer(i, x0, x1, cos0, sin0, cos1, sin1, mask0, mask1)
             if i < NUM_LAYERS - 1:
                 fracs.append(self.confident_fraction(i, x0, x1, mask0, mask1))
+                fracs.append(self.prune_scores(i, x0, x1)[0])
+                fracs.append(self.heads_at(i, x0, x1)[1])
         return self.heads(x0, x1)
 
 
@@ -230,25 +269,36 @@ def _apply_jit(net, params, *args, method, i=None):
     return net.apply({"params": params}, i, *args, method=method)
 
 
-@functools.partial(jax.jit, static_argnames=("net",))
-def _heads_and_extract(net, params, x0, x1, mask0, mask1, match_threshold):
-    sim, z0, z1 = net.apply({"params": params}, x0, x1, method="heads")
+@functools.partial(jax.jit, static_argnames=("net", "i"))
+def _heads_and_extract(net, params, x0, x1, mask0, mask1, match_threshold,
+                       i=NUM_LAYERS - 1):
+    sim, z0, z1 = net.apply({"params": params}, i, x0, x1, method="heads_at")
     return _extract_matches(sim, z0, z1, mask0, mask1, match_threshold)
 
 
 class LightGlue:
     def __init__(self, params=None, match_threshold: float = 0.1,
                  depth_confidence: float | None = None,
+                 width_confidence: float | None = None,
+                 width_min_keypoints: int = 512,
                  checkpoint_path: str | None = None):
         """depth_confidence: enable adaptive depth when set (upstream default
-        0.95); None runs all NUM_LAYERS in one jitted program."""
+        0.95); width_confidence: enable adaptive width / point pruning when
+        set (upstream default 0.99) — tokens that are confident and have
+        matchability <= 1 - width_confidence are dropped from later layers
+        (bucket-compacted to multiples of 128, never below
+        width_min_keypoints). None/None runs all NUM_LAYERS in one jitted
+        program."""
         self.net = LightGlueNet()
         self.match_threshold = match_threshold
         self.depth_confidence = depth_confidence
+        self.width_confidence = width_confidence
+        self.width_min_keypoints = width_min_keypoints
         if params is None and checkpoint_path:
             params = convert_torch_checkpoint(checkpoint_path)
         self.params = params
         self.last_depth: int | None = None  # layers executed on the last call
+        self.last_widths: tuple[int, int] | None = None  # final token counts
 
     def init_random(self, k: int = 32, seed: int = 0):
         z = jnp.zeros((1, k, D_MODEL))
@@ -266,30 +316,101 @@ class LightGlue:
             self.match_threshold,
         )
 
+    @staticmethod
+    def _compact(keep: np.ndarray, new_k: int, *arrays):
+        """Gather the kept tokens to the front of the token axis (length
+        new_k). keep: (B, K) bool. Returns (orig_idx (B, new_k), new_mask,
+        gathered arrays). Padded slots point at token 0 with mask 0."""
+        B, K = keep.shape
+        idx = np.zeros((B, new_k), np.int32)
+        new_mask = np.zeros((B, new_k), np.float32)
+        for b in range(B):
+            kept = np.nonzero(keep[b])[0]
+            n = min(len(kept), new_k)
+            idx[b, :n] = kept[:n]
+            new_mask[b, :n] = 1.0
+        gathered = [jnp.asarray(a)[jnp.arange(B)[:, None], idx] for a in arrays]
+        return idx, jnp.asarray(new_mask), gathered
+
     def _run_adaptive(self, desc0, desc1, pos0, pos1, mask0, mask1):
-        """Early-exit inference: one jitted program per layer, scalar host
-        sync between layers (the original's adaptive-depth mechanism)."""
+        """Early-exit + point-pruning inference: one jitted program per
+        layer, scalar host sync between layers (the original's adaptive
+        depth/width mechanisms; upstream LightGlue.forward)."""
         x0, x1, cos0, sin0, cos1, sin1 = _apply_jit(
             self.net, self.params, desc0, desc1, pos0, pos1, method="embed"
         )
+        B, K0 = mask0.shape
+        K1 = mask1.shape[1]
+        # orig*[b, k] = original keypoint slot of current token k.
+        orig0 = np.tile(np.arange(K0, dtype=np.int32), (B, 1))
+        orig1 = np.tile(np.arange(K1, dtype=np.int32), (B, 1))
         depth = NUM_LAYERS
+        exit_layer = NUM_LAYERS - 1
         for i in range(NUM_LAYERS):
             x0, x1 = _apply_jit(
                 self.net, self.params, x0, x1, cos0, sin0, cos1, sin1,
                 mask0, mask1, method="layer", i=i,
             )
-            if i < NUM_LAYERS - 1:
-                frac = float(_apply_jit(
-                    self.net, self.params, x0, x1, mask0, mask1,
-                    method="confident_fraction", i=i,
-                ))
-                if frac > self.depth_confidence:
+            if i >= NUM_LAYERS - 1:
+                break
+            conf0, conf1, m0, m1 = _apply_jit(
+                self.net, self.params, x0, x1, method="prune_scores", i=i
+            )
+            if self.depth_confidence is not None:
+                th = confidence_threshold(i)
+                n_conf = float(jnp.sum((conf0 > th) * mask0) + jnp.sum((conf1 > th) * mask1))
+                n_tot = max(float(jnp.sum(mask0) + jnp.sum(mask1)), 1.0)
+                if n_conf / n_tot > self.depth_confidence:
                     depth = i + 1
+                    exit_layer = i
                     break
+            if self.width_confidence is not None:
+                # Upstream get_pruning_mask: keep matchable-enough tokens and
+                # tokens whose embedding hasn't converged yet.
+                th = confidence_threshold(i)
+
+                def prune_side(m, conf, mask, x, cos, sin, orig, k_min):
+                    keep_j = ((m > (1.0 - self.width_confidence))
+                              | (conf <= th)) & (mask > 0)
+                    keep = np.asarray(keep_j)
+                    max_keep = int(keep.sum(axis=1).max())
+                    new_k = max(((max_keep + 127) // 128) * 128, k_min)
+                    if new_k >= mask.shape[1]:
+                        return mask, x, cos, sin, orig
+                    idx, new_mask, (x_g, cos_g, sin_g) = self._compact(
+                        keep, new_k, x, cos, sin
+                    )
+                    orig_g = np.take_along_axis(orig, idx, axis=1)
+                    return new_mask, x_g, cos_g, sin_g, orig_g
+
+                if mask0.shape[1] > self.width_min_keypoints:
+                    mask0, x0, cos0, sin0, orig0 = prune_side(
+                        m0, conf0, mask0, x0, cos0, sin0, orig0,
+                        self.width_min_keypoints,
+                    )
+                if mask1.shape[1] > self.width_min_keypoints:
+                    mask1, x1, cos1, sin1, orig1 = prune_side(
+                        m1, conf1, mask1, x1, cos1, sin1, orig1,
+                        self.width_min_keypoints,
+                    )
         self.last_depth = depth
-        return _heads_and_extract(
-            self.net, self.params, x0, x1, mask0, mask1, self.match_threshold
+        self.last_widths = (mask0.shape[1], mask1.shape[1])
+        idx_c, mm_c = _heads_and_extract(
+            self.net, self.params, x0, x1, mask0, mask1, self.match_threshold,
+            i=exit_layer,
         )
+        if mask0.shape[1] == K0 and mask1.shape[1] == K1:
+            return idx_c, mm_c
+        # Scatter compacted matches back to the original keypoint slots.
+        idx_c = np.asarray(idx_c)
+        mm_c = np.asarray(mm_c)
+        out_idx = np.full((B, K0), -1, np.int32)
+        out_mm = np.zeros((B, K0), np.float32)
+        for b in range(B):
+            ok = mm_c[b] > 0
+            out_idx[b, orig0[b, ok]] = orig1[b, idx_c[b, ok]]
+            out_mm[b, orig0[b, ok]] = 1.0
+        return jnp.asarray(out_idx), jnp.asarray(out_mm)
 
     def __call__(self, desc0, desc1, kpts0, kpts1, mask0, mask1,
                  image_shape0, image_shape1):
@@ -302,7 +423,7 @@ class LightGlue:
             desc0, desc1, norm_kpts(kpts0, image_shape0),
             norm_kpts(kpts1, image_shape1), mask0, mask1,
         )
-        if self.depth_confidence is not None:
+        if self.depth_confidence is not None or self.width_confidence is not None:
             return self._run_adaptive(*args)
         return self._run(*args)
 
@@ -363,6 +484,15 @@ def convert_torch_checkpoint(path: str):
     last = NUM_LAYERS - 1
     params["final_proj"] = dense(f"log_assignment.{last}.final_proj")
     params["matchability"] = dense(f"log_assignment.{last}.matchability")
+    # Per-layer assignment heads (early-exit matching + pruning matchability).
+    # Fall back to the last layer's head if a checkpoint omits them.
+    for i in range(NUM_LAYERS - 1):
+        if f"log_assignment.{i}.final_proj.weight" in sd:
+            params[f"final_proj{i}"] = dense(f"log_assignment.{i}.final_proj")
+            params[f"matchability{i}"] = dense(f"log_assignment.{i}.matchability")
+        else:
+            params[f"final_proj{i}"] = dict(params["final_proj"])
+            params[f"matchability{i}"] = dict(params["matchability"])
     # Adaptive-depth exit heads (token_confidence.{i}.token.0 = Linear(d, 1)).
     for i in range(NUM_LAYERS - 1):
         key = f"token_confidence.{i}.token.0"

@@ -26,6 +26,10 @@ class FrontendConfig:
     d2net_checkpoint: str | None = None
     disk_checkpoint: str | None = None
     allow_random_weights: bool = False
+    # LightGlue adaptivity (upstream defaults 0.95 / 0.99; None disables and
+    # runs the full static-depth batched program, usually fastest on TPU).
+    lightglue_depth_confidence: float | None = None
+    lightglue_width_confidence: float | None = None
 
 
 @dataclasses.dataclass
@@ -107,6 +111,14 @@ class PipelineConfig:
                 val = float(raw)
             elif isinstance(cur, tuple):
                 val = tuple(float(x) for x in raw.strip("()[]").split(","))
+            elif cur is None:
+                if raw.lower() in ("none", "null"):
+                    val = None
+                else:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        val = raw
             else:
                 val = raw
             setattr(obj, keys[-1], val)

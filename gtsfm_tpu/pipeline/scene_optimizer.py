@@ -208,7 +208,11 @@ class SceneOptimizer:
             return sg(d1, d2, k1, k2, s1, s2, m1, m2, shape, shape)
         from gtsfm_tpu.frontend.deep import lightglue as lg_mod
 
-        lg = lg_mod.LightGlue(checkpoint_path=fe.lightglue_checkpoint)
+        lg = lg_mod.LightGlue(
+            checkpoint_path=fe.lightglue_checkpoint,
+            depth_confidence=fe.lightglue_depth_confidence,
+            width_confidence=fe.lightglue_width_confidence,
+        )
         if lg.params is None:
             if not fe.allow_random_weights:
                 raise ValueError(

@@ -87,6 +87,53 @@ def test_adaptive_depth_early_exit(rng):
     np.testing.assert_array_equal(np.asarray(mm_a), np.asarray(mm_f))
 
 
+def test_adaptive_width_prunes_unmatchable(rng):
+    """All tokens confident + unmatchable -> pruned down to the 128-bucket;
+    no matches survive (upstream point pruning semantics)."""
+    K = 256
+    lg = lightglue.LightGlue(
+        width_confidence=0.99, width_min_keypoints=128
+    ).init_random(k=K)
+    p = dict(lg.params)
+    for i in range(lightglue.NUM_LAYERS - 1):
+        p[f"token_conf{i}"]["bias"] = jnp.full_like(p[f"token_conf{i}"]["bias"], 10.0)
+        p[f"matchability{i}"]["kernel"] = jnp.zeros_like(p[f"matchability{i}"]["kernel"])
+        p[f"matchability{i}"]["bias"] = jnp.full_like(p[f"matchability{i}"]["bias"], -10.0)
+    lg.params = p
+    desc = jnp.asarray(rng.standard_normal((2, K, lightglue.D_MODEL)), jnp.float32)
+    kpts = jnp.asarray(rng.uniform(0, 100, size=(2, K, 2)), jnp.float32)
+    mask = jnp.ones((1, K))
+    idx, mm = lg(desc[0:1], desc[1:2], kpts[0:1], kpts[1:2], mask, mask,
+                 (100, 100), (100, 100))
+    assert lg.last_widths == (128, 128)
+    assert idx.shape == (1, K) and mm.shape == (1, K)
+    assert np.asarray(mm).sum() == 0  # pruned points cannot match
+
+
+def test_adaptive_width_keep_all_matches_full(rng):
+    """Nothing prunable (all tokens matchable): the width-adaptive path must
+    agree with the static full-depth program exactly."""
+    K = 256
+    lg = lightglue.LightGlue(
+        width_confidence=0.99, width_min_keypoints=128
+    ).init_random(k=K)
+    p = dict(lg.params)
+    for i in range(lightglue.NUM_LAYERS - 1):
+        p[f"matchability{i}"]["bias"] = jnp.full_like(p[f"matchability{i}"]["bias"], 10.0)
+    lg.params = p
+    desc = jnp.asarray(rng.standard_normal((2, K, lightglue.D_MODEL)), jnp.float32)
+    kpts = jnp.asarray(rng.uniform(0, 100, size=(2, K, 2)), jnp.float32)
+    mask = jnp.ones((1, K))
+    idx_a, mm_a = lg(desc[0:1], desc[1:2], kpts[0:1], kpts[1:2], mask, mask,
+                     (100, 100), (100, 100))
+    assert lg.last_widths == (K, K)
+    lg.width_confidence = None
+    idx_f, mm_f = lg(desc[0:1], desc[1:2], kpts[0:1], kpts[1:2], mask, mask,
+                     (100, 100), (100, 100))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_f))
+    np.testing.assert_array_equal(np.asarray(mm_a), np.asarray(mm_f))
+
+
 def test_confidence_threshold_decreasing():
     ths = [lightglue.confidence_threshold(i) for i in range(lightglue.NUM_LAYERS)]
     assert all(a >= b for a, b in zip(ths, ths[1:]))

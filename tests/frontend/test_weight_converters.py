@@ -147,12 +147,21 @@ def test_lightglue_converter_layout(tmp_path):
         sd[f"{base}.cross_attn.ffn.1.weight"] = torch.rand(512)
         sd[f"{base}.cross_attn.ffn.1.bias"] = torch.randn(512) * 0.1
         lin(f"{base}.cross_attn.ffn.3", 256, 512)
-    lin("log_assignment.8.final_proj", 256, 256)
-    lin("log_assignment.8.matchability", 1, 256)
+    for i in range(9):
+        lin(f"log_assignment.{i}.final_proj", 256, 256)
+        lin(f"log_assignment.{i}.matchability", 1, 256)
+    for i in range(8):
+        lin(f"token_confidence.{i}.token.0", 1, 256)
     path = str(tmp_path / "lightglue_fake.pth")
     torch.save(sd, path)
 
     params = lg_mod.convert_torch_checkpoint(path)
+    # Per-layer assignment heads mapped from log_assignment.{i}.
+    np.testing.assert_allclose(
+        np.asarray(params["matchability0"]["kernel"])[:, 0],
+        sd["log_assignment.0.matchability.weight"].numpy()[0],
+        atol=1e-6,
+    )
     lg = lg_mod.LightGlue(params=params)
     K = 16
     rng = np.random.default_rng(0)
