@@ -655,6 +655,114 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     return dc, dp
 
 
+def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAConfig):
+    """Scatter-free matrix-free Schur + PCG for LARGE camera counts.
+
+    The flat PCG path (_schur_solve) routes every matvec through segment-sum
+    scatters, which serialize on TPU. Here the S-matvec is two MXU matmuls
+    against the camera one-hot (bf16 routing table, exact for {0,1}):
+
+      A        = chol(Hpp_inv)^T W  per (track, slot)  — (T, L, 3, 9), built
+                 once per LM iteration; S = Hcc_d - A^T A with A's camera
+                 structure applied by one-hot routing
+      matvec   x -> route x to slots (TL x N matmul) -> per-track 3-vector
+                 y = sum_l A_tl x_tl -> route back (N x TL matmul)
+      PCG      block-Jacobi preconditioner from damped Hcc
+
+    Used when the dense (9N)^2 Cholesky is out of reach (N > ~400 cameras).
+    """
+    N = scene.num_cameras_padded
+    T = scene.num_tracks_padded
+    D = CAM_DIM
+    L = bucket.bmask.shape[1]
+    # Matvec routing dtype: bf16 halves the dominant HBM tensor (the TL x N
+    # routing table; its {0,1} entries are exact) at the cost of rounding the
+    # routed vectors to bf16 — an inexact-Newton inner solve, guarded by LM
+    # accept/reject. schur_bf16=False (e.g. the final filtering stage) keeps
+    # everything f32.
+    route_dtype = jnp.bfloat16 if cfg.schur_bf16 else jnp.float32
+    onehot2 = bucket.onehot.reshape(T * L, N).astype(route_dtype)
+
+    Jc_b = Jc.reshape(T, L, 2, D)
+    Jp_b = Jp.reshape(T, L, 2, 3)
+    bar = jax.lax.optimization_barrier
+
+    oh_f32 = bucket.onehot.reshape(T * L, N)
+    JJ = bar(jnp.einsum("mki,mkj->mij", Jc, Jc).reshape(T * L, D * D))
+    Hcc = bar((oh_f32.T @ JJ).reshape(N, D, D))
+    Jr = jnp.einsum("mki,mk->mi", Jc, r.reshape(T * L, 2))
+    bc = -(oh_f32.T @ Jr)  # (N, 9)
+    Hpp = jnp.einsum("tlki,tlkj->tij", Jp_b, Jp_b)
+    bp = -jnp.einsum("tlki,tlk->ti", Jp_b, r.reshape(T, L, 2))
+
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
+    Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
+    Hpp_inv = bar(jnp.linalg.inv(Hpp_d))
+
+    # A = U^T W with U = chol(Hpp_inv): S_red = (A routed)^T (A routed).
+    W = bar(jnp.einsum("tlki,tlkj->tlij", Jp_b, Jc_b))  # (T, L, 3, 9)
+    U = _chol3x3(Hpp_inv)
+    u = lambda k, i: U[:, None, k, i, None]
+    W0, W1, W2 = W[:, :, 0], W[:, :, 1], W[:, :, 2]
+    A = bar(jnp.stack(
+        [
+            u(0, 0) * W0 + u(1, 0) * W1 + u(2, 0) * W2,
+            u(1, 1) * W1 + u(2, 1) * W2,
+            u(2, 2) * W2,
+        ],
+        axis=2,
+    ))  # (T, L, 3, 9)
+
+    def S_matvec(x):  # x (N, 9)
+        x_slot = (onehot2 @ x.astype(route_dtype)).astype(x.dtype)  # (TL, 9)
+        x_slot = x_slot.reshape(T, L, D)
+        y = jnp.einsum("tlij,tlj->ti", A, x_slot)  # (T, 3)
+        back = jnp.einsum("tlij,ti->tlj", A, y).reshape(T * L, D)
+        red = (onehot2.T @ back.astype(route_dtype)).astype(x.dtype)  # (N, 9)
+        direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+        return direct - red
+
+    # rhs: v = bc - W^T Hpp_inv bp, routed back to cameras.
+    hb = jnp.einsum("tij,tj->ti", Hpp_inv, bp)  # (T, 3)
+    wb = jnp.einsum("tlij,ti->tlj", W, hb).reshape(T * L, D)
+    v_rhs = bc - (oh_f32.T @ wb)
+
+    Minv = jnp.linalg.inv(Hcc_d)
+
+    def precond(x):
+        return jnp.einsum("nij,nj->ni", Minv, x)
+
+    x0 = jnp.zeros_like(v_rhs)
+    r0 = v_rhs - S_matvec(x0)
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+    denom0 = jnp.maximum(jnp.sum(v_rhs * v_rhs), 1e-20)
+
+    def pcg_body(carry):
+        x, rr, z, p, rz, it = carry
+        Sp = S_matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, rr, z, p, rz_new, it + 1
+
+    def pcg_cond(carry):
+        x, rr, z, p, rz, it = carry
+        return (it < cfg.pcg_iterations) & (jnp.sum(rr * rr) / denom0 > cfg.pcg_tol**2)
+
+    dc, *_ = jax.lax.while_loop(pcg_cond, pcg_body, (x0, r0, z0, z0, rz0, 0))
+
+    # Back-substitute points: dp = Hpp_inv (bp - W dc[routing]).
+    dc_slot = (onehot2 @ dc.astype(route_dtype)).astype(dc.dtype).reshape(T, L, D)
+    Hpc_dc = jnp.einsum("tlij,tlj->ti", W, dc_slot)
+    dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
+    return dc, dp
+
+
 def _chol3x3(M: jnp.ndarray) -> jnp.ndarray:
     """Closed-form batched 3x3 Cholesky (lower L, L L^T = M). Elementwise —
     orders of magnitude cheaper than lax.linalg.cholesky's blocked algorithm
@@ -776,7 +884,7 @@ def lm_optimize(
 
     use_dense = _use_dense_schur(scene)
     bucket = None
-    if use_dense and cfg.bucket_l is not None:
+    if cfg.bucket_l is not None:
         bucket = _make_bucket(scene, cfg.bucket_l)
 
     def total_cost(s):
@@ -803,6 +911,10 @@ def lm_optimize(
             else:
                 r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
                 dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
+        elif bucket is not None:
+            # Large camera count: scatter-free bucketed matrix-free PCG.
+            r, Jc, Jp = _build_blocks_bucketed(scene, bucket, cfg, cam_free)
+            dc, dp = _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene, lam, cfg)
         else:
             r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
             dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)

@@ -233,6 +233,32 @@ def test_bucketed_recovers_gt(rng):
     assert float(jnp.where(m, err, 0).sum() / m.sum()) < 0.05
 
 
+def test_pcg_bucketed_matches_dense(rng, monkeypatch):
+    """The scatter-free bucketed matrix-free PCG path (large-N solver) must
+    converge to the dense-path quality. Forced by shrinking the dense-Schur
+    camera guard so the small fixture routes through PCG."""
+    sc = make_ragged_problem(rng)
+    sc_p = perturb(np.random.default_rng(3), sc, rot_deg=2.0, trans=0.08, pt=0.08)
+    L = ba.auto_bucket_l(sc_p)
+    res_dense = ba.lm_optimize(
+        sc_p, ba.BAConfig(max_iterations=12, bucket_l=L, schur_bf16=False)
+    )
+    monkeypatch.setattr(ba, "_DENSE_SCHUR_MAX_CAMERAS", 0)
+    res_pcg = ba.lm_optimize(
+        sc_p,
+        ba.BAConfig(max_iterations=12, bucket_l=L, schur_bf16=False,
+                    pcg_iterations=60, pcg_tol=1e-8),
+    )
+    f_dense, f_pcg = float(res_dense.final_cost), float(res_pcg.final_cost)
+    assert f_pcg < float(res_pcg.initial_cost)
+    assert f_pcg < 1.05 * f_dense + 1e-6, (f_dense, f_pcg)
+    # Default bf16 routing still converges (inexact-Newton inner solve).
+    res_bf16 = ba.lm_optimize(
+        sc_p, ba.BAConfig(max_iterations=12, bucket_l=L, pcg_iterations=60)
+    )
+    assert float(res_bf16.final_cost) < 1.10 * f_dense + 1e-6
+
+
 def test_auto_bucket_l(rng):
     sc = make_ragged_problem(rng)
     L = ba.auto_bucket_l(sc)
