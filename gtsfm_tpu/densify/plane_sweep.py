@@ -35,27 +35,61 @@ MIN_CONFIDENCE = 0.8
 MIN_CONSISTENT_VIEWS = 1
 
 
+def pairwise_view_scores(scene: SceneData, max_track_len: int = 16) -> np.ndarray:
+    """(N, N) pairwise view-selection scores: for every camera pair, the sum
+    over shared tracks of the piecewise-Gaussian of the triangulation angle at
+    the track's 3D point (reference patchmatchnet_data.py:85-149, MVSNet view
+    selection). Vectorized over the padded track view instead of the
+    reference's per-track Python loop."""
+    from gtsfm_tpu.common.scene import tracks_to_padded
+    from gtsfm_tpu.densify import mvs_utils
+
+    N = scene.num_cameras_padded
+    cam_idx, _, mask = tracks_to_padded(scene, max_track_len)  # (T, L)
+    pts = np.asarray(scene.points, np.float64)  # (T, 3)
+    tmask = np.asarray(scene.track_mask) > 0
+    centers = np.asarray(scene.wti, np.float64)  # (N, 3)
+
+    # Rays from each observing camera to the track point: (T, L, 3).
+    rays = pts[:, None, :] - centers[cam_idx]
+    rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+    # Pairwise slot angles within each track: (T, L, L).
+    dots = np.clip(np.einsum("tad,tbd->tab", rays, rays), -1.0, 1.0)
+    theta = np.rad2deg(np.arccos(dots))
+    score = mvs_utils.piecewise_gaussian(theta)
+    pm = (mask[:, :, None] * mask[:, None, :]) * tmask[:, None, None]
+    # Zero the diagonal (a slot paired with itself) and same-camera slot pairs.
+    same_cam = cam_idx[:, :, None] == cam_idx[:, None, :]
+    score = np.where(same_cam, 0.0, score * pm)
+
+    pair_scores = np.zeros((N, N))
+    np.add.at(
+        pair_scores,
+        (
+            np.broadcast_to(cam_idx[:, :, None], score.shape).ravel(),
+            np.broadcast_to(cam_idx[:, None, :], score.shape).ravel(),
+        ),
+        score.ravel(),
+    )
+    np.fill_diagonal(pair_scores, -np.inf)
+    return pair_scores
+
+
 def select_source_views(scene: SceneData, num_views: int = 4) -> np.ndarray:
-    """Rank source views per reference view by shared-track count
-    (reference patchmatchnet_data view-selection scores).
+    """Rank source views per reference view by the summed piecewise-Gaussian
+    triangulation-angle score over shared tracks (reference
+    patchmatchnet_data.py:85-153 view-selection).
 
     Returns (N, num_views) int32 of source view indices (-1 padding).
     """
-    mc = np.asarray(scene.meas_cam)
-    mt = np.asarray(scene.meas_track)
-    mm = np.asarray(scene.meas_mask) > 0
-    N = scene.num_cameras_padded
-    T = scene.num_tracks_padded
-    obs = np.zeros((N, T), bool)
-    obs[mc[mm], mt[mm]] = True
-    shared = obs.astype(np.int32) @ obs.T.astype(np.int32)  # (N, N)
-    np.fill_diagonal(shared, -1)
+    pair_scores = pairwise_view_scores(scene)
+    N = pair_scores.shape[0]
     out = np.full((N, num_views), -1, np.int32)
+    order = np.argsort(-pair_scores, axis=1)
     for i in range(N):
-        order = np.argsort(-shared[i])
         k = 0
-        for j in order:
-            if shared[i, j] <= 0 or k >= num_views:
+        for j in order[i]:
+            if pair_scores[i, j] <= 0 or k >= num_views:
                 break
             out[i, k] = j
             k += 1

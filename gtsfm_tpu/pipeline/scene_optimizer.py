@@ -733,6 +733,14 @@ class SceneOptimizer:
         g.add("total_runtime_sec", time.time() - t0)
         metrics.append(g)
 
+        # Ortho-axis (PCA) alignment of the scene used for densify + all
+        # exports (reference scene_optimizer.py:218 aligns ba_output BEFORE
+        # the densify graph consumes it; utils/ellipsoid.py). Rigid, so pose
+        # comparisons (which Sim3-align) are unaffected.
+        from gtsfm_tpu.geometry.ellipsoid import align_scene_to_ortho_axes
+
+        export_scene, _ = align_scene_to_ortho_axes(final)
+
         if cfg.densify.enabled:
             from gtsfm_tpu.common.image import rescale_image
             from gtsfm_tpu.densify import plane_sweep
@@ -746,9 +754,9 @@ class SceneOptimizer:
             mvs_scale = min(small_imgs[0].shape[:2]) / min(
                 loader.get_image(0)[0].value_array.shape[:2]
             )
-            mvs_cal = np.asarray(final.cal).copy()
+            mvs_cal = np.asarray(export_scene.cal).copy()
             mvs_cal[:, [0, 3, 4]] *= mvs_scale
-            mvs_scene = dataclasses.replace(final, cal=jnp.asarray(mvs_cal))
+            mvs_scene = dataclasses.replace(export_scene, cal=jnp.asarray(mvs_cal))
             dense = plane_sweep.densify(
                 small_imgs, mvs_scene,
                 num_depths=cfg.densify.num_depths,
@@ -758,11 +766,28 @@ class SceneOptimizer:
             for k, v in dense.metrics.items():
                 g.add(k, v)
             metrics.append(g)
+            # Voxel downsampling of the fused cloud + PSNR metrics (reference
+            # densify/mvs_base.py:80-91): the saved cloud is the downsampled one.
+            from gtsfm_tpu.densify import mvs_utils
+
+            dense_pts, dense_rgb = np.asarray(dense.points), np.asarray(dense.rgb)
+            if dense_pts.shape[0] >= 2:
+                voxel_size = mvs_utils.estimate_minimum_voxel_size(dense_pts)
+                sampled_pts, sampled_rgb = mvs_utils.downsample_point_cloud(
+                    dense_pts, dense_rgb, voxel_size
+                )
+                metrics.append(
+                    mvs_utils.get_voxel_downsampling_metrics(
+                        voxel_size, dense_pts, sampled_pts
+                    )
+                )
+            else:
+                sampled_pts, sampled_rgb = dense_pts, dense_rgb
             if save_outputs:
                 os.makedirs(cfg.output_root, exist_ok=True)
                 colmap_io.write_ply(
                     os.path.join(cfg.output_root, "dense_point_cloud.ply"),
-                    dense.points, dense.rgb,
+                    sampled_pts, sampled_rgb,
                 )
 
         if save_outputs:
@@ -772,7 +797,7 @@ class SceneOptimizer:
             out = cfg.output_root
             os.makedirs(out, exist_ok=True)
             colmap_io.export_scene_as_colmap_text(
-                final, os.path.join(out, "ba_output"),
+                export_scene, os.path.join(out, "ba_output"),
                 file_names=loader.image_filenames(), image_sizes=sizes,
             )
             save_metrics_reports(metrics, os.path.join(out, "result_metrics"))
