@@ -127,17 +127,17 @@ def distributed_ba_gn_step_tracksharded(
         Jp_b = Jp.reshape(Tl, L, 2, 3)
         oh2 = bkt.onehot.reshape(Tl * L, N)
 
-        JJ = jnp.einsum("mki,mkj->mij", Jc, Jc).reshape(Tl * L, D * D)
+        JJ = ba._outer2(Jc, Jc).reshape(Tl * L, D * D)
         Hcc_l = (oh2.T @ JJ).reshape(N, D, D)
-        bc_l = -(oh2.T @ jnp.einsum("mki,mk->mi", Jc, r))
-        Hpp = jnp.einsum("tlki,tlkj->tij", Jp_b, Jp_b)  # local tracks only
-        bp = -jnp.einsum("tlki,tlk->ti", Jp_b, r.reshape(Tl, L, 2))
+        bc_l = -(oh2.T @ ba._matvec2(Jc, r))
+        Hpp = ba._outer2(Jp_b, Jp_b).sum(1)  # local tracks only
+        bp = -ba._matvec2(Jp_b, r.reshape(Tl, L, 2)).sum(1)
 
         lam_v = lam_arr[0]
         Hpp_d = Hpp + (lam_v * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.PT_DIM)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = ba._inv3x3(Hpp_d)
 
-        W = jnp.einsum("tlki,tlkj->tlij", Jp_b, Jc_b)
+        W = ba._outer2(Jp_b, Jc_b)
         G = jnp.einsum("tln,tlij->tinj", bkt.onehot, W).reshape(Tl, 3, N * D)
         C = jnp.einsum("tij,tjn->tin", Hpp_inv, G)
         S_red_l = jax.lax.dot_general(
@@ -259,40 +259,40 @@ def distributed_ba_gn_step(
         T = scene_shard.num_tracks_padded
 
         Hcc = jax.lax.psum(
-            jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", Jc, Jc), mc, num_segments=N),
+            jax.ops.segment_sum(ba._outer2(Jc, Jc), mc, num_segments=N),
             axis,
         )
         Hpp = jax.lax.psum(
-            jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", Jp, Jp), mt, num_segments=T),
+            jax.ops.segment_sum(ba._outer2(Jp, Jp), mt, num_segments=T),
             axis,
         )
         bc = -jax.lax.psum(
-            jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), mc, num_segments=N),
+            jax.ops.segment_sum(ba._matvec2(Jc, r), mc, num_segments=N),
             axis,
         )
         bp = -jax.lax.psum(
-            jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), mt, num_segments=T),
+            jax.ops.segment_sum(ba._matvec2(Jp, r), mt, num_segments=T),
             axis,
         )
 
         lam_v = lam_arr[0]
         Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.CAM_DIM)
         Hpp_d = Hpp + (lam_v * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.PT_DIM)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = ba._inv3x3(Hpp_d)
 
         # Coupling matvecs need ALL measurements' Jc/Jp — computed locally on
         # the shard then psum'd (each device holds only its blocks).
         def Hpc_x(x):
             v = jnp.einsum("mki,mi->mk", Jc, x[mc])
             return jax.lax.psum(
-                jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, v), mt, num_segments=T),
+                jax.ops.segment_sum(ba._matvec2(Jp, v), mt, num_segments=T),
                 axis,
             )
 
         def Hcp_y(y):
             v = jnp.einsum("mki,mi->mk", Jp, y[mt])
             return jax.lax.psum(
-                jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, v), mc, num_segments=N),
+                jax.ops.segment_sum(ba._matvec2(Jc, v), mc, num_segments=N),
                 axis,
             )
 
