@@ -80,16 +80,18 @@ def main() -> None:
     from gtsfm_tpu.bundle import ba
 
     scene = build_problem()
+    band, band_plan = ba.auto_band(scene)
     cfg = ba.BAConfig(
-        max_iterations=30, pcg_iterations=20, bucket_l=ba.auto_bucket_l(scene)
+        max_iterations=30, pcg_iterations=20, bucket_l=ba.auto_bucket_l(scene),
+        band=band,
     )
 
     # Warmup (compile).
-    r = ba.lm_optimize(scene, cfg)
+    r = ba.lm_optimize(scene, cfg, band_plan=band_plan)
     r.final_cost.block_until_ready()
 
     t0 = time.time()
-    r = ba.lm_optimize(scene, cfg)
+    r = ba.lm_optimize(scene, cfg, band_plan=band_plan)
     r.final_cost.block_until_ready()
     dt = time.time() - t0
     iters = max(int(r.iterations), 1)

@@ -70,6 +70,14 @@ class BAConfig(NamedTuple):
     # much faster per LM iteration on TPU. Use auto_bucket_l(scene). Must be
     # >= the true max track length or excess measurements are DROPPED.
     bucket_l: int | None = None
+    # Camera-BANDED Schur reduction (static metadata from auto_band(scene)):
+    # (C, B, T2, Tb, K) — band stride, window count, padded/regrouped track
+    # count, track block size, block count. Tracks are grouped by the camera
+    # window [wC, wC+2C) containing their span; the coupling G and its S_red
+    # contraction then run over 2C local camera lanes instead of all N
+    # (window blocks overlap-added into S). Requires bucket_l and a matching
+    # band_plan argument to lm_optimize.
+    band: tuple[int, int, int, int, int] | None = None
     # bf16 storage for the camera-point coupling G (the dominant HBM tensor
     # in the bucketed Schur reduction); accumulation stays f32. LM's
     # accept/reject guards against the (tiny) step-quality loss.
@@ -175,9 +183,23 @@ def _analytic_blocks(wRi, wti, cal, X, uv):
     return r, Jc, Jp
 
 
+def _rho_cost(e: jnp.ndarray, mask: jnp.ndarray, huber_k: float, robust: bool) -> jnp.ndarray:
+    """Sum of the robust loss over masked residual norms (the LM acceptance
+    metric — every block build returns it for free, saving the separate
+    projection pass per iteration)."""
+    if robust:
+        quad = 0.5 * e**2
+        lin = huber_k * (e - 0.5 * huber_k)
+        rho = jnp.where(e <= huber_k, quad, lin)
+    else:
+        rho = 0.5 * e**2
+    return jnp.sum(rho * mask)
+
+
 def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
     """Per-measurement residuals r (M,2), Jacobian blocks Jc (M,2,9),
-    Jp (M,2,3), with robust IRLS weights and masks folded in."""
+    Jp (M,2,3), with robust IRLS weights and masks folded in, plus the
+    robust cost at this scene."""
     wRi = scene.wRi[scene.meas_cam]
     wti = scene.wti[scene.meas_cam]
     cal = scene.cal[scene.meas_cam]
@@ -187,12 +209,14 @@ def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
     r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
 
     # Robust Huber IRLS weight on the 2D error norm.
-    e = jnp.linalg.norm(r, axis=-1)
+    mask = scene.meas_mask * scene.track_mask[scene.meas_track]
+    e = jnp.linalg.norm(jnp.where(mask[:, None] > 0, r, 0.0), axis=-1)
+    cost = _rho_cost(e, mask, cfg.huber_k, cfg.robust)
     if cfg.robust:
         w = jnp.minimum(1.0, cfg.huber_k / jnp.maximum(e, 1e-12))
     else:
         w = jnp.ones_like(e)
-    w = w * scene.meas_mask * scene.track_mask[scene.meas_track]
+    w = w * mask
     sw = jnp.sqrt(w)[:, None]
     r = r * sw
     Jc = Jc * sw[..., None]
@@ -203,7 +227,7 @@ def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
     if not cfg.optimize_calibration:
         col_mask = col_mask.at[6:9].set(0.0)
     Jc = Jc * col_mask[None, None, :] * cam_free[scene.meas_cam][:, None, None]
-    return r, Jc, Jp
+    return r, Jc, Jp, cost
 
 
 def robust_cost(scene: SceneData, huber_k: float, robust: bool = True) -> jnp.ndarray:
@@ -530,11 +554,13 @@ def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
     Jp = jnp.where(live[:, None, None], Jp, 0.0)
 
     e = jnp.linalg.norm(r, axis=-1)
+    mask = bucket.bmask.reshape(-1) * tmask
+    cost = _rho_cost(e, mask, cfg.huber_k, cfg.robust)
     if cfg.robust:
         w = jnp.minimum(1.0, cfg.huber_k / jnp.maximum(e, 1e-12))
     else:
         w = jnp.ones_like(e)
-    w = w * bucket.bmask.reshape(-1) * tmask
+    w = w * mask
     sw = jnp.sqrt(w)[:, None]
     r = r * sw
     Jc = Jc * sw[..., None]
@@ -545,7 +571,7 @@ def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
     Jc = Jc * col_mask[None, None, :] * cam_free_slot[:, None, None]
     # Force materialization: without the barrier XLA fuses this whole block
     # build into each of the solver's several consumers and recomputes it.
-    return jax.lax.optimization_barrier((r, Jc, Jp))
+    return jax.lax.optimization_barrier((r, Jc, Jp, cost))
 
 
 def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAConfig,
@@ -782,6 +808,342 @@ def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAC
     return dc, dp
 
 
+class BandPlan(NamedTuple):
+    """Host-computed track→banded-row layout (see BAConfig.band).
+
+    Rows are tracks regrouped by camera window, each window padded to whole
+    blocks of Tb rows (dummy rows are fully masked)."""
+
+    row_of_track: jnp.ndarray  # (T,) int32 — banded row of each input track
+    old_of_row: jnp.ndarray  # (T2,) int32 — input track per row (0 for dummy)
+    track_window: jnp.ndarray  # (T2,) int32 — window index per row
+    block_window: jnp.ndarray  # (K,) int32 — window index per Tb-row block
+
+
+def auto_band(
+    scene: SceneData,
+    tb: int = 128,
+    min_cameras: int = 64,
+) -> tuple[tuple[int, int, int, int, int] | None, BandPlan | None]:
+    """Detect camera-band structure (host-side). Returns (statics, plan) for
+    BAConfig.band / lm_optimize(band_plan=...), or (None, None) when banding
+    is not applicable (few cameras, or track spans cover the camera range —
+    e.g. unordered internet collections).
+
+    Profitable when every track's camera span fits a 2C window with C <= N/4:
+    the Schur coupling then contracts over 2C*9 local lanes instead of N*9.
+    """
+    import numpy as _np
+
+    N = scene.num_cameras_padded
+    T = scene.num_tracks_padded
+    if N < min_cameras or N > _DENSE_SCHUR_MAX_CAMERAS:
+        return None, None
+    mt = _np.asarray(scene.meas_track)
+    mc = _np.asarray(scene.meas_cam)
+    mm = _np.asarray(scene.meas_mask) > 0
+    smin = _np.full(T, N, _np.int64)
+    smax = _np.full(T, -1, _np.int64)
+    _np.minimum.at(smin, mt[mm], mc[mm])
+    _np.maximum.at(smax, mt[mm], mc[mm])
+    live = smax >= 0
+    if not live.any():
+        return None, None
+    c = 4
+    C_ = None
+    while c * 4 <= N:
+        w = smin // c
+        if _np.all(~live | (smax < (w + 2) * c)):
+            C_ = c
+            break
+        c *= 2
+    if C_ is None:
+        return None, None
+    B_ = (N + C_ - 1) // C_
+    win = _np.where(live, smin // C_, 0).astype(_np.int64)
+    order = _np.argsort(win, kind="stable")
+    counts = _np.bincount(win, minlength=B_)
+    row_of_track = _np.zeros(T, _np.int64)
+    track_window = []
+    t2 = 0
+    pos = 0
+    for wdx in range(B_):
+        n_w = int(counts[wdx])
+        nblk = -(-n_w // tb)  # ceil
+        rows = order[pos : pos + n_w]
+        row_of_track[rows] = t2 + _np.arange(n_w)
+        track_window.append(_np.full(nblk * tb, wdx, _np.int64))
+        t2 += nblk * tb
+        pos += n_w
+    if t2 == 0:
+        return None, None
+    track_window = _np.concatenate(track_window)
+    old_of_row = _np.zeros(t2, _np.int64)
+    old_of_row[row_of_track] = _np.arange(T)
+    K = t2 // tb
+    statics = (int(C_), int(B_), int(t2), int(tb), int(K))
+    plan = BandPlan(
+        row_of_track=jnp.asarray(row_of_track, jnp.int32),
+        old_of_row=jnp.asarray(old_of_row, jnp.int32),
+        track_window=jnp.asarray(track_window, jnp.int32),
+        block_window=jnp.asarray(track_window[::tb], jnp.int32),
+    )
+    return statics, plan
+
+
+class _BandBucket(NamedTuple):
+    """(T2, L) banded measurement layout: like _Bucket but the camera one-hot
+    spans only the row's 2C-wide local window."""
+
+    cam_b: jnp.ndarray  # (T2, L) GLOBAL camera index
+    uv_b: jnp.ndarray  # (T2, L, 2)
+    bmask: jnp.ndarray  # (T2, L)
+    onehot_loc: jnp.ndarray  # (T2, L, 2C) local-window one-hot * bmask
+    track_window: jnp.ndarray  # (T2,)
+    block_window: jnp.ndarray  # (K,)
+
+
+def _make_band_bucket(scene: SceneData, L: int, C_: int, plan: BandPlan) -> _BandBucket:
+    """Banded analog of _make_bucket; scene must already be in banded-row
+    track order with measurements sorted by (row, cam), dead rows keyed last."""
+    T2 = scene.num_tracks_padded
+    M = scene.meas_cam.shape[0]
+    mt_eff = jnp.where(scene.meas_mask > 0, scene.meas_track, T2)
+    start = jnp.searchsorted(mt_eff, jnp.arange(T2 + 1))
+    counts = start[1:] - start[:-1]
+    l_idx = jnp.arange(L)
+    valid = l_idx[None, :] < counts[:, None]
+    src = jnp.minimum(start[:-1][:, None] + l_idx[None, :], M - 1).reshape(-1)
+    bmask = valid.astype(scene.meas_uv.dtype)
+    cam_b = scene.meas_cam[src].reshape(T2, L) * valid
+    uv_b = scene.meas_uv[src].reshape(T2, L, 2) * bmask[..., None]
+    cam_loc = jnp.clip(cam_b - plan.track_window[:, None] * C_, 0, 2 * C_ - 1)
+    onehot_loc = jax.nn.one_hot(cam_loc, 2 * C_, dtype=scene.meas_uv.dtype) * bmask[..., None]
+    return _BandBucket(
+        cam_b=cam_b, uv_b=uv_b, bmask=bmask, onehot_loc=onehot_loc,
+        track_window=plan.track_window, block_window=plan.block_window,
+    )
+
+
+def _routed_states_banded(scene: SceneData, bucket: "_BandBucket",
+                          cam_free: jnp.ndarray | None):
+    """Per-slot camera states via window-local one-hot routing: gather each
+    Tb-row block's (Wd, 18) window table (tiny) and apply one batched
+    (TbL x Wd)(Wd x 18) MXU matmul — ~2x faster than a flat per-slot gather
+    (TPU gathers serialize)."""
+    N = scene.num_cameras_padded
+    T2, L = bucket.bmask.shape
+    Wd = bucket.onehot_loc.shape[-1]
+    C_ = Wd // 2
+    K = bucket.block_window.shape[0]
+    Tb = T2 // K
+    B_ = -(-N // C_)
+    cols = [scene.wRi.reshape(N, 9), scene.wti, scene.cal]
+    if cam_free is not None:
+        cols.append(cam_free[:, None])
+    table = jnp.concatenate(cols, -1)  # (N, S)
+    S = table.shape[-1]
+    ext = jnp.zeros(((B_ + 1) * C_, S), table.dtype).at[:N].set(table)
+    rows = ext.reshape(B_ + 1, C_, S)
+    win_table = jnp.concatenate([rows[:-1], rows[1:]], axis=1)  # (B, Wd, S)
+    blk_table = win_table[bucket.block_window]  # (K, Wd, S) — tiny gather
+    ohb = bucket.onehot_loc.reshape(K, Tb * L, Wd)
+    g = jax.lax.dot_general(
+        ohb, blk_table, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=table.dtype,
+    ).reshape(T2 * L, S)
+    wRi = g[:, :9].reshape(-1, 3, 3)
+    wti = g[:, 9:12]
+    cal = g[:, 12:17]
+    free = g[:, 17] if cam_free is not None else None
+    return wRi, wti, cal, free
+
+
+def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
+                         cam_free: jnp.ndarray):
+    """_build_blocks_bucketed for the banded layout (gather-routed states)."""
+    T2, L = bucket.bmask.shape
+    wRi, wti, cal, cam_free_slot = _routed_states_banded(scene, bucket, cam_free)
+    X = jnp.broadcast_to(scene.points[:, None, :], (T2, L, 3)).reshape(-1, 3)
+    uv = bucket.uv_b.reshape(-1, 2)
+
+    r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
+
+    tmask = jnp.broadcast_to(scene.track_mask[:, None], (T2, L)).reshape(-1)
+    live = (bucket.bmask.reshape(-1) * tmask) > 0
+    r = jnp.where(live[:, None], r, 0.0)
+    Jc = jnp.where(live[:, None, None], Jc, 0.0)
+    Jp = jnp.where(live[:, None, None], Jp, 0.0)
+
+    e = jnp.linalg.norm(r, axis=-1)
+    mask = bucket.bmask.reshape(-1) * tmask
+    cost = _rho_cost(e, mask, cfg.huber_k, cfg.robust)
+    if cfg.robust:
+        w = jnp.minimum(1.0, cfg.huber_k / jnp.maximum(e, 1e-12))
+    else:
+        w = jnp.ones_like(e)
+    w = w * mask
+    sw = jnp.sqrt(w)[:, None]
+    r = r * sw
+    Jc = Jc * sw[..., None]
+    Jp = Jp * sw[..., None]
+    col_mask = jnp.ones(CAM_DIM, r.dtype)
+    if not cfg.optimize_calibration:
+        col_mask = col_mask.at[6:9].set(0.0)
+    Jc = Jc * col_mask[None, None, :] * cam_free_slot[:, None, None]
+    return jax.lax.optimization_barrier((r, Jc, Jp, cost))
+
+
+def _robust_cost_banded(scene: SceneData, bucket: _BandBucket, huber_k: float,
+                        robust: bool = True) -> jnp.ndarray:
+    """robust_cost on the banded (T2, L) layout (gather-routed states)."""
+    T2, L = bucket.bmask.shape
+    wRi, wti, cal, _ = _routed_states_banded(scene, bucket, None)
+    X = jnp.broadcast_to(scene.points[:, None, :], (T2, L, 3)).reshape(-1, 3)
+    pred, _ = cam_mod.project_bundler(wRi, wti, cal, X)
+    m = (bucket.bmask * jnp.broadcast_to(scene.track_mask[:, None], (T2, L))).reshape(-1)
+    d = pred - bucket.uv_b.reshape(-1, 2)
+    err = jnp.where(m[:, None] > 0, d, 0.0)
+    err = jnp.sqrt(jnp.sum(err * err, -1))
+    if robust:
+        quad = 0.5 * err**2
+        lin = huber_k * (err - 0.5 * huber_k)
+        rho = jnp.where(err <= huber_k, quad, lin)
+    else:
+        rho = 0.5 * err**2
+    return jnp.sum(rho * m)
+
+
+def _win_overlap_add(x_win: jnp.ndarray, B_: int, half: int) -> jnp.ndarray:
+    """Overlap-add window vectors: (B, 2*half) rows at offsets w*half into a
+    ((B+1)*half,) buffer — two contiguous slice-adds, no scatter."""
+    x2 = x_win.reshape(B_, 2, half)
+    out = jnp.zeros((B_ + 1, half), x_win.dtype)
+    out = out.at[:B_].add(x2[:, 0])
+    out = out.at[1:].add(x2[:, 1])
+    return out.reshape(-1)
+
+
+def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
+                              lam, cfg: BAConfig, prior_blocks=None):
+    """Camera-banded scatter-free exact reduced-camera solve.
+
+    Identical math to _schur_solve_dense_bucketed, but every one-hot routing
+    runs over the track's 2C-wide LOCAL camera window instead of all N
+    cameras (N/(2C)x less HBM traffic and MXU work in the dominant G/C/S_red
+    chain); per-window (2C*9)^2 reduction blocks are overlap-added into the
+    dense S, whose Cholesky is unchanged.
+    """
+    C_, B_, T2, Tb, K = cfg.band
+    N = scene.num_cameras_padded
+    D = CAM_DIM
+    Wd = 2 * C_
+    L = bucket.bmask.shape[1]
+    CD = C_ * D
+    bar = jax.lax.optimization_barrier
+    oh = bucket.onehot_loc  # (T2, L, Wd)
+    Jc_b = Jc.reshape(T2, L, 2, D)
+    Jp_b = Jp.reshape(T2, L, 2, 3)
+
+    # Hcc + bc via window-local routing: one batched (Wd x TbL)(TbL x 90)
+    # GEMM per block, window-reduced, overlap-added onto the camera axis.
+    JJ = bar(_outer2(Jc, Jc).reshape(T2 * L, D * D))
+    Jr = _matvec2(Jc, r.reshape(T2 * L, 2))
+    JJr = jnp.concatenate([JJ, Jr], -1)  # (T2L, 90)
+    ohb = oh.reshape(K, Tb * L, Wd)
+    hw_blk = jax.lax.dot_general(
+        ohb, JJr.reshape(K, Tb * L, D * D + D),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=r.dtype,
+    )  # (K, Wd, 90)
+    hw = jax.ops.segment_sum(hw_blk, bucket.block_window, num_segments=B_,
+                             indices_are_sorted=True)
+    acc = _win_overlap_add(hw.reshape(B_, Wd * (D * D + D)), B_, C_ * (D * D + D))
+    acc = acc.reshape((B_ + 1) * C_, D * D + D)[:N]
+    Hcc = bar(acc[:, : D * D].reshape(N, D, D))
+    bc = -acc[:, D * D :]
+
+    Hpp = _outer2(Jp_b, Jp_b).sum(1)
+    bp = -_matvec2(Jp_b, r.reshape(T2, L, 2)).sum(1)
+
+    if prior_blocks is not None:
+        rp, Ja, Jb, ea, eb = prior_blocks
+        Hcc = Hcc + jax.ops.segment_sum(jnp.einsum("eki,ekj->eij", Ja, Ja), ea, num_segments=N)
+        Hcc = Hcc + jax.ops.segment_sum(jnp.einsum("eki,ekj->eij", Jb, Jb), eb, num_segments=N)
+        bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Ja, rp), ea, num_segments=N)
+        bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Jb, rp), eb, num_segments=N)
+
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
+    Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
+    Hpp_inv = bar(_inv3x3(Hpp_d))
+
+    # Local coupling G_loc over Wd lanes (bf16; {0,1} routing exact), built
+    # by compare-mask accumulation over the L slots — ~30% faster than the
+    # per-track (Wd x L)(L x 27) einsum at these tiny-matmul shapes. W is
+    # already zero at masked slots (blocks are zeroed in the build), so the
+    # clipped camera index of a masked slot routes only zeros.
+    g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+    W = bar(_outer2(Jp_b, Jc_b))  # (T2, L, 3, 9)
+    cam_loc = jnp.clip(bucket.cam_b - bucket.track_window[:, None] * C_, 0, Wd - 1)
+    lane = jnp.arange(Wd, dtype=jnp.int32)
+    Wg = W.astype(g_dtype)
+    G4 = jnp.zeros((T2, 3, Wd, D), g_dtype)
+    for l in range(L):
+        sel = (cam_loc[:, l, None] == lane[None, :]).astype(g_dtype)  # (T2, Wd)
+        G4 = G4 + sel[:, None, :, None] * Wg[:, l, :, None, :]
+    G_loc = bar(G4.reshape(T2, 3, Wd * D))
+    C_loc = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G_loc))
+    S_blk = jax.lax.dot_general(
+        G_loc.reshape(K, Tb * 3, Wd * D), C_loc.reshape(K, Tb * 3, Wd * D),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=r.dtype,
+    )  # (K, WdD, WdD) f32
+    S_win = jax.ops.segment_sum(S_blk, bucket.block_window, num_segments=B_,
+                                indices_are_sorted=True)
+
+    # Overlap-add the window blocks into the dense reduced system.
+    Sq = S_win.reshape(B_, 2, CD, 2, CD)
+    S_ext = jnp.zeros((B_ + 1, CD, B_ + 1, CD), r.dtype)
+    ib = jnp.arange(B_)
+    S_ext = S_ext.at[ib, :, ib, :].add(Sq[:, 0, :, 0, :])
+    S_ext = S_ext.at[ib, :, ib + 1, :].add(Sq[:, 0, :, 1, :])
+    S_ext = S_ext.at[ib + 1, :, ib, :].add(Sq[:, 1, :, 0, :])
+    S_ext = S_ext.at[ib + 1, :, ib + 1, :].add(Sq[:, 1, :, 1, :])
+    S_red = S_ext.reshape((B_ + 1) * CD, (B_ + 1) * CD)[: N * D, : N * D]
+
+    idx = jnp.arange(N)
+    S4 = (-S_red).reshape(N, D, N, D).at[idx, :, idx, :].add(Hcc_d)
+    if prior_blocks is not None:
+        rp, Ja, Jb, ea, eb = prior_blocks
+        cross = jnp.einsum("eki,ekj->eij", Ja, Jb)
+        S4 = S4.at[ea, :, eb, :].add(cross)
+        S4 = S4.at[eb, :, ea, :].add(jnp.swapaxes(cross, -1, -2))
+    S = S4.reshape(N * D, N * D)
+
+    # rhs via the local coupling, overlap-added to camera lanes.
+    hb = jnp.einsum("tij,tj->ti", Hpp_inv, bp)
+    y_loc = jnp.einsum("tin,ti->tn", G_loc, hb, preferred_element_type=r.dtype)
+    y_win = jax.ops.segment_sum(y_loc, bucket.track_window, num_segments=B_,
+                                indices_are_sorted=True)  # (B, WdD)
+    v = bc.reshape(-1) - _win_overlap_add(y_win, B_, CD)[: N * D]
+
+    diag = jnp.diagonal(S)
+    fix = (diag <= 1e-7).astype(r.dtype)
+    S = S + jnp.diag(fix)
+
+    Lf = jax.scipy.linalg.cho_factor(S, lower=True)
+    dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
+
+    # Back-substitute: gather each row's window slice of dc.
+    dc_ext = jnp.zeros(((B_ + 1) * CD,), dc.dtype).at[: N * D].set(dc.reshape(-1))
+    rows = dc_ext.reshape(B_ + 1, CD)
+    dc_win = jnp.concatenate([rows[:-1], rows[1:]], axis=-1)  # (B, WdD)
+    dc_tw = dc_win[bucket.track_window]  # (T2, WdD)
+    Hpc_dc = jnp.einsum("tin,tn->ti", G_loc, dc_tw, preferred_element_type=r.dtype)
+    dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
+    return dc, dp
+
+
 def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     """Closed-form batched 3x3 inverse (adjugate / det). ~25x faster than
     jnp.linalg.inv's batched LU on TPU for huge batches of tiny matrices
@@ -908,6 +1270,7 @@ def lm_optimize(
     cfg: BAConfig = BAConfig(),
     cam_fixed: jnp.ndarray | None = None,
     priors: RelativePosePriors | None = None,
+    band_plan: BandPlan | None = None,
 ) -> BAResult:
     """Run LM to convergence (fixed max iterations, early stop on damping).
 
@@ -915,14 +1278,31 @@ def lm_optimize(
     the first live camera (gauge anchor).
     priors: optional between-factor relative-pose priors (rig constraints,
     lidar odometry — reference _between_factors); dense-Schur path only.
+    band_plan: arrays from auto_band(scene); required iff cfg.band is set.
     """
     if priors is not None and not _use_dense_schur(scene):
         raise NotImplementedError("relative-pose priors require the dense Schur path")
+    use_band = cfg.band is not None
+    if use_band and (band_plan is None or cfg.bucket_l is None):
+        raise ValueError("cfg.band requires band_plan and bucket_l")
     N = scene.num_cameras_padded
     if cam_fixed is None:
         first_live = jnp.argmax(scene.camera_mask > 0)
         cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
     cam_free = (1.0 - cam_fixed) * scene.camera_mask
+
+    T_in = scene.num_tracks_padded
+    if use_band:
+        # Regroup tracks into banded rows (window-grouped, block-padded); the
+        # permutation is undone on exit so callers see the input track layout.
+        C_, B_, T2, Tb, K = cfg.band
+        rot = band_plan.row_of_track
+        scene = dataclasses.replace(
+            scene,
+            points=jnp.zeros((T2, 3), scene.points.dtype).at[rot].set(scene.points),
+            track_mask=jnp.zeros((T2,), scene.track_mask.dtype).at[rot].set(scene.track_mask),
+            meas_track=jnp.clip(rot[scene.meas_track], 0, T2 - 1),
+        )
 
     # Sort measurements by (track * N + camera): the Schur solvers' track- and
     # grid-keyed segment sums then run in sorted mode. The flat measurement
@@ -940,49 +1320,62 @@ def lm_optimize(
         meas_mask=scene.meas_mask[order],
     )
 
-    use_dense = _use_dense_schur(scene)
+    use_dense = _use_dense_schur(scene) or use_band
     bucket = None
-    if cfg.bucket_l is not None:
+    if use_band:
+        bucket = _make_band_bucket(scene, cfg.bucket_l, cfg.band[0], band_plan)
+    elif cfg.bucket_l is not None:
         bucket = _make_bucket(scene, cfg.bucket_l)
 
-    def total_cost(s):
+    def build(s):
+        if use_band:
+            return _build_blocks_banded(s, bucket, cfg, cam_free)
         if bucket is not None:
-            c = _robust_cost_bucketed(s, bucket, cfg.huber_k, cfg.robust)
-        else:
-            c = robust_cost(s, cfg.huber_k, cfg.robust)
-        if priors is not None:
-            c = c + prior_cost(s, priors)
-        return c
+            return _build_blocks_bucketed(s, bucket, cfg, cam_free)
+        return _build_blocks(s, cfg, cam_free)
 
-    cost0 = total_cost(scene)
+    def with_prior_cost(s, block_cost):
+        if priors is not None:
+            return block_cost + prior_cost(s, priors)
+        return block_cost
+
+    # The block build doubles as the cost evaluation (the builds return the
+    # robust cost of their residuals), so each LM iteration runs exactly one
+    # projection pass: blocks of the CANDIDATE are built to score it and are
+    # carried into the next iteration when accepted.
+    r0, Jc0, Jp0, bcost0 = build(scene)
+    cost0 = with_prior_cost(scene, bcost0)
 
     def body(carry):
-        scene, lam, cost, it, _ = carry
+        scene, blocks, lam, cost, it, _ = carry
+        r, Jc, Jp = blocks
         if use_dense:
             pb = None
             if priors is not None:
                 rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
                 pb = (rp, Ja, Jb, priors.edges_a, priors.edges_b)
-            if bucket is not None:
-                r, Jc, Jp = _build_blocks_bucketed(scene, bucket, cfg, cam_free)
+            if use_band:
+                dc, dp = _schur_solve_dense_banded(r, Jc, Jp, bucket, scene, lam, cfg, pb)
+            elif bucket is not None:
                 dc, dp = _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene, lam, cfg, pb)
             else:
-                r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
                 dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
         elif bucket is not None:
             # Large camera count: scatter-free bucketed matrix-free PCG.
-            r, Jc, Jp = _build_blocks_bucketed(scene, bucket, cfg, cam_free)
             dc, dp = _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene, lam, cfg)
         else:
-            r, Jc, Jp = _build_blocks(scene, cfg, cam_free)
             dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)
         cand = _update_scene(scene, dc, dp)
         if cfg.share_calibration:
             cand = _shared_calibration_step(cand, cfg)
-        new_cost = total_cost(cand)
+        rc, Jcc, Jpc, bcost_c = build(cand)
+        new_cost = with_prior_cost(cand, bcost_c)
         accept = new_cost < cost
         scene = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, scene
+        )
+        blocks = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), (rc, Jcc, Jpc), blocks
         )
         cost_next = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(
@@ -991,17 +1384,29 @@ def lm_optimize(
         )
         rel_decrease = (cost - cost_next) / jnp.maximum(cost, 1e-12)
         converged = accept & (rel_decrease < 1e-6)
-        return scene, lam, cost_next, it + 1, converged
+        return scene, blocks, lam, cost_next, it + 1, converged
 
     def cond(carry):
-        _, lam, _, it, converged = carry
+        _, _, lam, _, it, converged = carry
         return (it < cfg.max_iterations) & (~converged) & (lam < cfg.lambda_max)
 
-    scene_f, lam_f, cost_f, iters, _ = jax.lax.while_loop(
+    scene_f, _, lam_f, cost_f, iters, _ = jax.lax.while_loop(
         cond, body,
-        (scene, jnp.asarray(cfg.lambda_init, cost0.dtype), cost0,
+        (scene, (r0, Jc0, Jp0), jnp.asarray(cfg.lambda_init, cost0.dtype), cost0,
          jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
+    if use_band:
+        # Undo the banded track regrouping (measurements stay in their sorted
+        # order, exactly like the non-banded paths).
+        rot = band_plan.row_of_track
+        scene_f = dataclasses.replace(
+            scene_f,
+            points=scene_f.points[rot],
+            track_mask=scene_f.track_mask[rot],
+            meas_track=band_plan.old_of_row[
+                jnp.clip(scene_f.meas_track, 0, band_plan.old_of_row.shape[0] - 1)
+            ],
+        )
     return BAResult(scene=scene_f, initial_cost=cost0, final_cost=cost_f, iterations=iters)
 
 
@@ -1024,7 +1429,14 @@ def run_ba_with_filtering(
         stage_cfg = cfg
         if k == len(reproj_thresholds_px) - 1 and cfg.schur_bf16:
             stage_cfg = cfg._replace(schur_bf16=False)
-        result = lm_optimize(scene, stage_cfg, priors=priors)
+        # Auto-detect camera-band structure (recomputed per stage — filtering
+        # can only shrink spans).
+        band_plan = None
+        if stage_cfg.bucket_l is not None and stage_cfg.band is None:
+            statics, band_plan = auto_band(scene)
+            if statics is not None:
+                stage_cfg = stage_cfg._replace(band=statics)
+        result = lm_optimize(scene, stage_cfg, priors=priors, band_plan=band_plan)
         scene = result.scene.filter_landmarks(thresh)
         stats.append(
             dict(

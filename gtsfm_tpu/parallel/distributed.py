@@ -120,7 +120,7 @@ def distributed_ba_gn_step_tracksharded(
     )
     def step(bkt, pts, tmask, lam_arr):
         Tl, L = bkt.bmask.shape
-        r, Jc, Jp = ba._build_blocks_bucketed(
+        r, Jc, Jp, _ = ba._build_blocks_bucketed(
             sc_sorted, bkt, cfg, cam_free, points=pts, track_mask=tmask
         )
         Jc_b = Jc.reshape(Tl, L, 2, D)
@@ -253,7 +253,7 @@ def distributed_ba_gn_step(
     )
     def step(scene_shard: SceneData, lam_arr):
         # Local Jacobian blocks on this device's measurement shard.
-        r, Jc, Jp = ba._build_blocks(scene_shard, cfg, cam_free)
+        r, Jc, Jp, _ = ba._build_blocks(scene_shard, cfg, cam_free)
         mc = scene_shard.meas_cam
         mt = scene_shard.meas_track
         T = scene_shard.num_tracks_padded

@@ -267,3 +267,90 @@ def test_auto_bucket_l(rng):
         minlength=sc.num_tracks_padded,
     )
     assert L == counts.max()
+
+
+def make_banded_problem(rng, n_cams=80, n_tracks=400, obs_per_track=6, pixel_noise=0.3):
+    """Sequential-capture-style problem: each track sees a narrow consecutive
+    camera window (the structure auto_band detects)."""
+    cal = np.tile(np.asarray([500.0, -0.05, 0.01, 320.0, 240.0], np.float32), (n_cams, 1))
+    angles = np.linspace(-1.0, 1.0, n_cams)
+    wRi, wti = [], []
+    for a in angles:
+        c = np.asarray([10 * np.sin(a), 0.0, -10 * np.cos(a)], np.float32)
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0.0, 1.0, 0.0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        wRi.append(np.stack([x, y, z], -1).astype(np.float32))
+        wti.append(c)
+    wRi = np.stack(wRi); wti = np.stack(wti)
+    X = rng.uniform(-2, 2, size=(n_tracks, 3)).astype(np.float32)
+    start = rng.integers(0, n_cams - obs_per_track, size=n_tracks)
+    tracks = []
+    for j in range(n_tracks):
+        cams = np.arange(int(start[j]), int(start[j]) + obs_per_track)
+        uv, _ = cameras.project_bundler(
+            jnp.asarray(wRi[cams]), jnp.asarray(wti[cams]),
+            jnp.asarray(cal[cams]), jnp.broadcast_to(jnp.asarray(X[j]), (obs_per_track, 3)),
+        )
+        uv = np.asarray(uv) + pixel_noise * rng.normal(size=uv.shape).astype(np.float32)
+        tracks.append([(c, uv[k]) for k, c in enumerate(cams)])
+    sc = scene_mod.make_scene(wRi, wti, cal, tracks)
+    sc = dataclasses.replace(sc, points=sc.points.at[:n_tracks].set(jnp.asarray(X)))
+    return sc
+
+
+def test_banded_schur_matches_bucketed(rng):
+    sc_gt = make_banded_problem(rng)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    L = ba.auto_bucket_l(sc0)
+    band, plan = ba.auto_band(sc0)
+    assert band is not None, "auto_band should detect the windowed structure"
+    C_, B_, T2, Tb, K = band
+    assert 4 * C_ <= sc0.num_cameras_padded
+
+    # f32 everywhere for a tight comparison between the two formulations.
+    cfg_bkt = ba.BAConfig(max_iterations=12, bucket_l=L, schur_bf16=False)
+    cfg_band = cfg_bkt._replace(band=band)
+    res_bkt = ba.lm_optimize(sc0, cfg_bkt)
+    res_band = ba.lm_optimize(sc0, cfg_band, band_plan=plan)
+
+    assert float(res_band.initial_cost) == pytest.approx(
+        float(res_bkt.initial_cost), rel=1e-5
+    )
+    assert float(res_band.final_cost) == pytest.approx(
+        float(res_bkt.final_cost), rel=1e-2
+    )
+    # Returned layout is the INPUT track layout (permutation undone).
+    live = np.asarray(sc0.track_mask) > 0
+    d = np.linalg.norm(
+        np.asarray(res_band.scene.points)[live] - np.asarray(res_bkt.scene.points)[live],
+        axis=-1,
+    )
+    # Individual points are only noise-floor determined (pixel noise 0.3);
+    # the two formulations reach equal cost along slightly different LM
+    # trajectories, so compare points loosely and costs tightly (above).
+    assert float(d.max()) < 8e-2
+    # Measurement arrays still reference the right tracks/cameras.
+    errs, _ = res_band.scene.reprojection_errors()
+    m = np.asarray(res_band.scene.meas_mask) > 0
+    assert float(np.asarray(errs)[m].mean()) < 1.0
+
+
+def test_banded_recovers_gt(rng):
+    sc_gt = make_banded_problem(rng, pixel_noise=0.0)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    band, plan = ba.auto_band(sc0)
+    assert band is not None
+    cfg = ba.BAConfig(max_iterations=25, bucket_l=ba.auto_bucket_l(sc0), band=band)
+    res = ba.lm_optimize(sc0, cfg, band_plan=plan)
+    assert float(res.final_cost) < 1e-2 * float(res.initial_cost)
+    err, _ = res.scene.reprojection_errors()
+    live = np.asarray(res.scene.meas_mask) > 0
+    assert float(np.asarray(err)[live].mean()) < 0.05
+
+
+def test_auto_band_rejects_unbanded(rng):
+    # Full-visibility problem (every track sees every camera): no banding.
+    sc, _ = make_ba_problem(rng, n_cams=64, n_tracks=80)
+    band, plan = ba.auto_band(sc)
+    assert band is None and plan is None

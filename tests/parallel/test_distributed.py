@@ -51,7 +51,7 @@ def test_distributed_ba_step_matches_single_device(rng):
     first_live = jnp.argmax(sc0.camera_mask > 0)
     cam_fixed = jax.nn.one_hot(first_live, N, dtype=sc0.camera_mask.dtype)
     cam_free = (1.0 - cam_fixed) * sc0.camera_mask
-    r, Jc, Jp = ba._build_blocks(sc0, cfg, cam_free)
+    r, Jc, Jp, _ = ba._build_blocks(sc0, cfg, cam_free)
     dc, dp = ba._schur_solve(r, Jc, Jp, sc0, jnp.asarray(1e-4), cfg)
     R, t, cal = ba._apply_camera_delta(sc0.wRi, sc0.wti, sc0.cal, dc)
 
@@ -116,7 +116,7 @@ def test_tracksharded_step_matches_bucketed_single_device(rng):
         meas_uv=sc0.meas_uv[order], meas_mask=sc0.meas_mask[order],
     )
     bucket = ba._make_bucket(sc_s, L)
-    r, Jc, Jp = ba._build_blocks_bucketed(sc_s, bucket, cfg, cam_free)
+    r, Jc, Jp, _ = ba._build_blocks_bucketed(sc_s, bucket, cfg, cam_free)
     dc, dp = ba._schur_solve_dense_bucketed(
         r, Jc, Jp, bucket, sc_s, jnp.asarray(1e-4), cfg
     )
