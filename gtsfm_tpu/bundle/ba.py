@@ -47,6 +47,18 @@ from gtsfm_tpu.geometry import lie
 
 CAM_DIM = 9  # (omega, dt, df, dk1, dk2)
 PT_DIM = 3
+POSE_DIM = 6  # camera block when calibration is frozen (omega, dt)
+
+
+def _cam_dim(cfg: "BAConfig") -> int:
+    """Camera block dimension actually carried through the Schur solve.
+
+    With calibration frozen (the common case — reference BA defaults to
+    fixed intrinsics via near-exact priors, bundle_adjustment.py:180), the
+    three calibration columns are identically zero; slicing them off shrinks
+    the reduced camera system from (9N)^2 to (6N)^2 — the Cholesky drops
+    ~3.4x in FLOPs and every coupling tensor loses a third of its lanes."""
+    return CAM_DIM if cfg.optimize_calibration else POSE_DIM
 
 
 class BAConfig(NamedTuple):
@@ -82,6 +94,11 @@ class BAConfig(NamedTuple):
     # in the bucketed Schur reduction); accumulation stays f32. LM's
     # accept/reject guards against the (tiny) step-quality loss.
     schur_bf16: bool = True
+    # Solve the materialized reduced camera system with fixed-count
+    # block-Jacobi PCG instead of dense Cholesky (TPU triangular solves
+    # serialize ~1000x off MXU speed-of-light; a dense-matvec CG sweep is
+    # pure MXU work). Inexact-Newton — guarded by LM accept/reject.
+    reduced_cg_iters: int | None = None
 
 
 class RelativePosePriors(NamedTuple):
@@ -107,6 +124,8 @@ class BAResult(NamedTuple):
 def _apply_camera_delta(wRi, wti, cal, dc):
     R = wRi @ lie.so3_exp(dc[..., 0:3])
     t = wti + dc[..., 3:6]
+    if dc.shape[-1] < CAM_DIM:  # frozen calibration: 6-dim camera delta
+        return R, t, cal
     dcal = jnp.concatenate([dc[..., 6:9], jnp.zeros_like(dc[..., 0:2])], axis=-1)
     return R, t, cal + dcal
 
@@ -222,11 +241,11 @@ def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
     Jc = Jc * sw[..., None]
     Jp = Jp * sw[..., None]
 
-    # Frozen cameras and (optionally) frozen calibration: zero those columns.
-    col_mask = jnp.ones(CAM_DIM, r.dtype)
+    # Frozen cameras zero their rows; frozen calibration DROPS its columns
+    # (the Schur solve then runs on 6-dim camera blocks).
     if not cfg.optimize_calibration:
-        col_mask = col_mask.at[6:9].set(0.0)
-    Jc = Jc * col_mask[None, None, :] * cam_free[scene.meas_cam][:, None, None]
+        Jc = Jc[..., :POSE_DIM]
+    Jc = Jc * cam_free[scene.meas_cam][:, None, None]
     return r, Jc, Jp, cost
 
 
@@ -279,12 +298,13 @@ def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
     Returns (dc (N,9), dp (T,3))."""
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
+    D = Jc.shape[-1]
     mc = scene.meas_cam
     mt = scene.meas_track
 
     Hcc = jax.ops.segment_sum(
         _outer2(Jc, Jc), mc, num_segments=N
-    )  # (N, 9, 9)
+    )  # (N, D, D)
     Hpp = jax.ops.segment_sum(
         _outer2(Jp, Jp), mt, num_segments=T
     )  # (T, 3, 3)
@@ -292,7 +312,7 @@ def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
     bp = -jax.ops.segment_sum(_matvec2(Jp, r), mt, num_segments=T)
 
     # LM damping (multiplicative on diagonal + small absolute floor).
-    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(CAM_DIM)
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
     Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
 
     Hpp_inv = _inv3x3(Hpp_d)  # (T, 3, 3) batched
@@ -413,7 +433,7 @@ def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig, prior_bl
     # segment sums run in sorted mode; the masked rows' key T*N lands out of
     # range and is dropped by the scatter (their data is zeroed anyway).
     mt = jnp.where(scene.meas_mask > 0, scene.meas_track, T)
-    D = CAM_DIM
+    D = Jc.shape[-1]
     sorted_by_track = True
 
     Hcc = jax.ops.segment_sum(_outer2(Jc, Jc), mc, num_segments=N)
@@ -467,8 +487,7 @@ def _schur_solve_dense(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig, prior_bl
     fix = (diag <= 1e-7).astype(r.dtype)
     S = S + jnp.diag(fix)
 
-    L = jax.scipy.linalg.cho_factor(S, lower=True)
-    dc = jax.scipy.linalg.cho_solve(L, v).reshape(N, D)
+    dc = _solve_reduced(S, v, cfg, D).reshape(N, D)
 
     # Back-substitute points: dp = Hpp^-1 (bp - Hpc dc).
     Hpc_dc = jnp.einsum("tin,n->ti", G, dc.reshape(-1))
@@ -565,10 +584,9 @@ def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
     r = r * sw
     Jc = Jc * sw[..., None]
     Jp = Jp * sw[..., None]
-    col_mask = jnp.ones(CAM_DIM, r.dtype)
     if not cfg.optimize_calibration:
-        col_mask = col_mask.at[6:9].set(0.0)
-    Jc = Jc * col_mask[None, None, :] * cam_free_slot[:, None, None]
+        Jc = Jc[..., :POSE_DIM]
+    Jc = Jc * cam_free_slot[:, None, None]
     # Force materialization: without the barrier XLA fuses this whole block
     # build into each of the solver's several consumers and recomputes it.
     return jax.lax.optimization_barrier((r, Jc, Jp, cost))
@@ -594,7 +612,7 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     """
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
-    D = CAM_DIM
+    D = Jc.shape[-1]
     onehot = bucket.onehot
     L = bucket.bmask.shape[1]
 
@@ -693,8 +711,7 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     fix = (diag <= 1e-7).astype(r.dtype)
     S = S + jnp.diag(fix)
 
-    Lf = jax.scipy.linalg.cho_factor(S, lower=True)
-    dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
+    dc = _solve_reduced(S, v, cfg, D).reshape(N, D)
     Hpc_dc = jnp.einsum("tin,n->ti", G, dc.reshape(-1), preferred_element_type=r.dtype)
     dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
     return dc, dp
@@ -718,7 +735,7 @@ def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAC
     """
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
-    D = CAM_DIM
+    D = Jc.shape[-1]
     L = bucket.bmask.shape[1]
     # Matvec routing dtype: bf16 halves the dominant HBM tensor (the TL x N
     # routing table; its {0,1} entries are exact) at the cost of rounding the
@@ -987,10 +1004,9 @@ def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
     r = r * sw
     Jc = Jc * sw[..., None]
     Jp = Jp * sw[..., None]
-    col_mask = jnp.ones(CAM_DIM, r.dtype)
     if not cfg.optimize_calibration:
-        col_mask = col_mask.at[6:9].set(0.0)
-    Jc = Jc * col_mask[None, None, :] * cam_free_slot[:, None, None]
+        Jc = Jc[..., :POSE_DIM]
+    Jc = Jc * cam_free_slot[:, None, None]
     return jax.lax.optimization_barrier((r, Jc, Jp, cost))
 
 
@@ -1036,7 +1052,7 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     """
     C_, B_, T2, Tb, K = cfg.band
     N = scene.num_cameras_padded
-    D = CAM_DIM
+    D = Jc.shape[-1]
     Wd = 2 * C_
     L = bucket.bmask.shape[1]
     CD = C_ * D
@@ -1079,18 +1095,19 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
 
     # Local coupling G_loc over Wd lanes (bf16; {0,1} routing exact), built
     # by compare-mask accumulation over the L slots — ~30% faster than the
-    # per-track (Wd x L)(L x 27) einsum at these tiny-matmul shapes. W is
-    # already zero at masked slots (blocks are zeroed in the build), so the
-    # clipped camera index of a masked slot routes only zeros.
+    # per-track (Wd x L)(L x 27) einsum at these tiny-matmul shapes. The
+    # per-slot coupling W_l is computed inside the loop (never materialized
+    # as a full (T2, L, 3, D) f32 tensor — each slot's outer product is
+    # consumed once). Blocks are zero at masked slots, so the clipped camera
+    # index of a masked slot routes only zeros.
     g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
-    W = bar(_outer2(Jp_b, Jc_b))  # (T2, L, 3, 9)
     cam_loc = jnp.clip(bucket.cam_b - bucket.track_window[:, None] * C_, 0, Wd - 1)
     lane = jnp.arange(Wd, dtype=jnp.int32)
-    Wg = W.astype(g_dtype)
     G4 = jnp.zeros((T2, 3, Wd, D), g_dtype)
     for l in range(L):
+        Wl = _outer2(Jp_b[:, l], Jc_b[:, l]).astype(g_dtype)  # (T2, 3, D)
         sel = (cam_loc[:, l, None] == lane[None, :]).astype(g_dtype)  # (T2, Wd)
-        G4 = G4 + sel[:, None, :, None] * Wg[:, l, :, None, :]
+        G4 = G4 + sel[:, None, :, None] * Wl[:, :, None, :]
     G_loc = bar(G4.reshape(T2, 3, Wd * D))
     C_loc = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G_loc))
     S_blk = jax.lax.dot_general(
@@ -1131,8 +1148,7 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     fix = (diag <= 1e-7).astype(r.dtype)
     S = S + jnp.diag(fix)
 
-    Lf = jax.scipy.linalg.cho_factor(S, lower=True)
-    dc = jax.scipy.linalg.cho_solve(Lf, v).reshape(N, D)
+    dc = _solve_reduced(S, v, cfg, D).reshape(N, D)
 
     # Back-substitute: gather each row's window slice of dc.
     dc_ext = jnp.zeros(((B_ + 1) * CD,), dc.dtype).at[: N * D].set(dc.reshape(-1))
@@ -1142,6 +1158,47 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     Hpc_dc = jnp.einsum("tin,tn->ti", G_loc, dc_tw, preferred_element_type=r.dtype)
     dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
     return dc, dp
+
+
+def _solve_reduced(S: jnp.ndarray, v: jnp.ndarray, cfg: BAConfig, D: int) -> jnp.ndarray:
+    """Solve the materialized reduced camera system S x = v.
+
+    Default: dense Cholesky (exact). With cfg.reduced_cg_iters set: fixed-count
+    block-Jacobi PCG whose matvec is a dense (ND x ND) GEMV — MXU work instead
+    of the serialized triangular solves TPU Cholesky lowers to. The
+    preconditioner blocks come from S's own diagonal (gauge-fixed cameras have
+    identity blocks there after the diagonal fix, so it stays well posed)."""
+    if cfg.reduced_cg_iters is None:
+        Lf = jax.scipy.linalg.cho_factor(S, lower=True)
+        return jax.scipy.linalg.cho_solve(Lf, v)
+    ND = S.shape[0]
+    N = ND // D
+    idx = jnp.arange(N)
+    Sb = S.reshape(N, D, N, D)[idx, :, idx, :]
+    Minv = jnp.linalg.inv(Sb)
+
+    def pc(x):
+        return jnp.einsum("nij,nj->ni", Minv, x.reshape(N, D)).reshape(-1)
+
+    x = jnp.zeros_like(v)
+    rr = v
+    z = pc(rr)
+    p = z
+    rz = rr @ z
+
+    def body(_, c):
+        x, rr, p, rz = c
+        Sp = S @ p
+        alpha = rz / jnp.maximum(p @ Sp, 1e-30)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = pc(rr)
+        rz2 = rr @ z
+        beta = rz2 / jnp.maximum(rz, 1e-30)
+        return (x, rr, z + beta * p, rz2)
+
+    x, *_ = jax.lax.fori_loop(0, cfg.reduced_cg_iters, body, (x, rr, p, rz))
+    return x
 
 
 def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
@@ -1258,6 +1315,8 @@ def _shared_calibration_step(scene: SceneData, cfg: BAConfig) -> SceneData:
 
 
 def _update_scene(scene: SceneData, dc, dp) -> SceneData:
+    if dc.shape[-1] < CAM_DIM:  # frozen calibration: 6-dim camera blocks
+        dc = jnp.pad(dc, ((0, 0), (0, CAM_DIM - dc.shape[-1])))
     R, t, cal = _apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
     return dataclasses.replace(
         scene, wRi=R, wti=t, cal=cal, points=scene.points + dp
@@ -1353,7 +1412,11 @@ def lm_optimize(
             pb = None
             if priors is not None:
                 rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
-                pb = (rp, Ja, Jb, priors.edges_a, priors.edges_b)
+                # Between factors never touch calibration — their trailing
+                # columns are identically zero; match the block width.
+                Dk = _cam_dim(cfg)
+                pb = (rp, Ja[..., :Dk], Jb[..., :Dk],
+                      priors.edges_a, priors.edges_b)
             if use_band:
                 dc, dp = _schur_solve_dense_banded(r, Jc, Jp, bucket, scene, lam, cfg, pb)
             elif bucket is not None:

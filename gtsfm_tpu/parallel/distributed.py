@@ -93,7 +93,7 @@ def distributed_ba_gn_step_tracksharded(
     n_dev = mesh.devices.size
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
-    D = ba.CAM_DIM
+    D = ba._cam_dim(cfg)
     assert T % n_dev == 0, "pad tracks to a multiple of mesh size"
 
     first_live = jnp.argmax(scene.camera_mask > 0)
@@ -169,6 +169,8 @@ def distributed_ba_gn_step_tracksharded(
         bucket, sc_sorted.points, sc_sorted.track_mask,
         jnp.asarray([lam], scene.meas_uv.dtype),
     )
+    if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
+        dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
     R, t, cal = ba._apply_camera_delta(sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, dc)
     return dataclasses.replace(
         sc_sorted, wRi=R, wti=t, cal=cal, points=sc_sorted.points + dp
@@ -276,7 +278,7 @@ def distributed_ba_gn_step(
         )
 
         lam_v = lam_arr[0]
-        Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.CAM_DIM)
+        Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(Jc.shape[-1])
         Hpp_d = Hpp + (lam_v * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.PT_DIM)
         Hpp_inv = ba._inv3x3(Hpp_d)
 
@@ -329,6 +331,8 @@ def distributed_ba_gn_step(
         return dc, dp
 
     dc, dp = step(scene, jnp.asarray([lam], scene.meas_uv.dtype))
+    if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
+        dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
     R, t, cal = ba._apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
     import dataclasses
 
