@@ -1101,13 +1101,13 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     # consumed once). Blocks are zero at masked slots, so the clipped camera
     # index of a masked slot routes only zeros.
     g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+    W = bar(_outer2(Jp_b.astype(g_dtype), Jc_b.astype(g_dtype)))  # (T2, L, 3, D)
     cam_loc = jnp.clip(bucket.cam_b - bucket.track_window[:, None] * C_, 0, Wd - 1)
     lane = jnp.arange(Wd, dtype=jnp.int32)
     G4 = jnp.zeros((T2, 3, Wd, D), g_dtype)
     for l in range(L):
-        Wl = _outer2(Jp_b[:, l], Jc_b[:, l]).astype(g_dtype)  # (T2, 3, D)
-        sel = (cam_loc[:, l, None] == lane[None, :]).astype(g_dtype)  # (T2, Wd)
-        G4 = G4 + sel[:, None, :, None] * Wl[:, :, None, :]
+        sel = (cam_loc[:, l, None] == lane[None, :]).astype(g_dtype)
+        G4 = G4 + sel[:, None, :, None] * W[:, l, :, None, :]
     G_loc = bar(G4.reshape(T2, 3, Wd * D))
     C_loc = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G_loc))
     S_blk = jax.lax.dot_general(
