@@ -654,7 +654,10 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     # form stays. The opt-in Pallas kernel in ops/pallas_kernels/schur.py
     # implements the B^T B form with B VMEM-resident.)
     g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
-    W = bar(_outer2(Jp_b, Jc_b))  # (T, L, 3, 9)
+    # bf16 inputs to the 2-row outer product: halves the dominant read+write
+    # traffic of the coupling build (measured on the banded path; {0,1}
+    # routing and f32 damping math unchanged).
+    W = bar(_outer2(Jp_b.astype(g_dtype), Jc_b.astype(g_dtype)))  # (T, L, 3, D)
     from gtsfm_tpu.ops.pallas_kernels import schur as schur_kernel
 
     if schur_kernel.supported(T, L, N, D):

@@ -94,6 +94,32 @@ class PipelineConfig:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+    def apply_yaml(self, path: str) -> "PipelineConfig":
+        """Apply a YAML config file (nested mapping mirroring this dataclass
+        tree — the reference's Hydra-YAML tier, gtsfm/configs/*.yaml; see
+        gtsfm_tpu/configs/ for presets). Values are routed through the same
+        typed coercion as dotted CLI overrides; CLI --override flags applied
+        afterwards win, matching the reference's argparse-mutates-Hydra
+        layering (gtsfm_runner_base.py:164-200)."""
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+
+        def flatten(prefix: str, node) -> list[str]:
+            out = []
+            for k, v in node.items():
+                dotted = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    out += flatten(dotted + ".", v)
+                elif isinstance(v, (list, tuple)):
+                    out.append(f"{dotted}={','.join(str(x) for x in v)}")
+                else:
+                    out.append(f"{dotted}={v}")
+            return out
+
+        return self.apply_overrides(flatten("", data))
+
     def apply_overrides(self, overrides: list[str]) -> "PipelineConfig":
         """'a.b=c' dotted-path overrides (the reference's hydra override idiom)."""
         for ov in overrides:

@@ -25,10 +25,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_dir", default="cache")
     p.add_argument("--no_cache", action="store_true")
     p.add_argument(
+        "--config", default=None,
+        help="YAML config file (preset name from gtsfm_tpu/configs/ — e.g. "
+        "sift_front_end, deep_front_end, unified — or a path); --override "
+        "flags are applied on top",
+    )
+    p.add_argument(
         "--override", action="append", default=[],
         help="config override a.b=c (repeatable)",
     )
     return p
+
+
+def resolve_config_path(name_or_path: str) -> str:
+    """A preset name resolves against the bundled gtsfm_tpu/configs/."""
+    import os
+
+    if os.path.isfile(name_or_path):
+        return name_or_path
+    bundled = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", name_or_path + (".yaml" if not name_or_path.endswith(".yaml") else ""),
+    )
+    if os.path.isfile(bundled):
+        return bundled
+    raise FileNotFoundError(f"config not found: {name_or_path} (nor {bundled})")
 
 
 def main(argv=None) -> int:
@@ -46,6 +67,8 @@ def main(argv=None) -> int:
     )
     cfg.retriever.regime = args.retriever
     cfg.retriever.max_frame_lookahead = args.max_frame_lookahead
+    if args.config is not None:
+        cfg.apply_yaml(resolve_config_path(args.config))
     cfg.apply_overrides(args.override)
 
     if args.loader == "olsson":
