@@ -857,7 +857,7 @@ def auto_band(
 
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
-    if N < min_cameras or N > _DENSE_SCHUR_MAX_CAMERAS:
+    if N < min_cameras:
         return None, None
     mt = _np.asarray(scene.meas_track)
     mc = _np.asarray(scene.meas_cam)
@@ -1204,6 +1204,123 @@ def _solve_reduced(S: jnp.ndarray, v: jnp.ndarray, cfg: BAConfig, D: int) -> jnp
     return x
 
 
+def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
+                            lam, cfg: BAConfig):
+    """Camera-banded matrix-free Schur + PCG for LARGE camera counts.
+
+    Same window-local assembly as _schur_solve_dense_banded (Hcc/bc GEMM
+    routing, bf16 local coupling G_loc over 2C lanes), but the reduced camera
+    system is never materialized: its matvec is a per-track window gather +
+    two G_loc sweeps + window overlap-add — O(T*L*(2C)*D) per sweep instead
+    of the flat PCG path's O(T*L*N*D) one-hot routing, an N/(2C)x saving.
+    Used when the (ND)^2 dense Cholesky is out of reach (N > ~400 cameras)
+    and the scene has camera-band structure (sequential captures).
+    """
+    C_, B_, T2, Tb, K = cfg.band
+    N = scene.num_cameras_padded
+    D = Jc.shape[-1]
+    Wd = 2 * C_
+    L = bucket.bmask.shape[1]
+    CD = C_ * D
+    bar = jax.lax.optimization_barrier
+    oh = bucket.onehot_loc
+    Jc_b = Jc.reshape(T2, L, 2, D)
+    Jp_b = Jp.reshape(T2, L, 2, 3)
+
+    JJ = bar(_outer2(Jc, Jc).reshape(T2 * L, D * D))
+    Jr = _matvec2(Jc, r.reshape(T2 * L, 2))
+    JJr = jnp.concatenate([JJ, Jr], -1)
+    ohb = oh.reshape(K, Tb * L, Wd)
+    hw_blk = jax.lax.dot_general(
+        ohb, JJr.reshape(K, Tb * L, D * D + D),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=r.dtype,
+    )
+    hw = jax.ops.segment_sum(hw_blk, bucket.block_window, num_segments=B_,
+                             indices_are_sorted=True)
+    acc = _win_overlap_add(hw.reshape(B_, Wd * (D * D + D)), B_, C_ * (D * D + D))
+    acc = acc.reshape((B_ + 1) * C_, D * D + D)[:N]
+    Hcc = bar(acc[:, : D * D].reshape(N, D, D))
+    bc = -acc[:, D * D :]
+
+    Hpp = _outer2(Jp_b, Jp_b).sum(1)
+    bp = -_matvec2(Jp_b, r.reshape(T2, L, 2)).sum(1)
+
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
+    Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(PT_DIM)
+    Hpp_inv = bar(_inv3x3(Hpp_d))
+
+    g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+    W = bar(_outer2(Jp_b.astype(g_dtype), Jc_b.astype(g_dtype)))  # (T2, L, 3, D)
+    cam_loc = jnp.clip(bucket.cam_b - bucket.track_window[:, None] * C_, 0, Wd - 1)
+    lane = jnp.arange(Wd, dtype=jnp.int32)
+    G4 = jnp.zeros((T2, 3, Wd, D), g_dtype)
+    for l in range(L):
+        sel = (cam_loc[:, l, None] == lane[None, :]).astype(g_dtype)
+        G4 = G4 + sel[:, None, :, None] * W[:, l, :, None, :]
+    G_loc = bar(G4.reshape(T2, 3, Wd * D))
+
+    def window_slices(x_flat):
+        """(N*D,) camera vector -> (B, WdD) per-window slices (gather-free)."""
+        ext = jnp.zeros(((B_ + 1) * CD,), x_flat.dtype).at[: N * D].set(x_flat)
+        rows = ext.reshape(B_ + 1, CD)
+        return jnp.concatenate([rows[:-1], rows[1:]], axis=-1)  # (B, WdD)
+
+    def route_back(y_loc):
+        """(T2, WdD) per-track window vectors -> (N*D,) camera accumulation."""
+        y_win = jax.ops.segment_sum(y_loc, bucket.track_window, num_segments=B_,
+                                    indices_are_sorted=True)
+        return _win_overlap_add(y_win, B_, CD)[: N * D]
+
+    def S_matvec(x):  # x (N, D)
+        x_tw = window_slices(x.reshape(-1))[bucket.track_window]  # (T2, WdD)
+        y = jnp.einsum("tin,tn->ti", G_loc, x_tw, preferred_element_type=x.dtype)
+        z = jnp.einsum("tij,tj->ti", Hpp_inv, y)
+        back = jnp.einsum("tin,ti->tn", G_loc, z, preferred_element_type=x.dtype)
+        red = route_back(back).reshape(N, D)
+        direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+        return direct - red
+
+    hb = jnp.einsum("tij,tj->ti", Hpp_inv, bp)
+    y_loc = jnp.einsum("tin,ti->tn", G_loc, hb, preferred_element_type=r.dtype)
+    v_rhs = bc - route_back(y_loc).reshape(N, D)
+
+    Minv = jnp.linalg.inv(Hcc_d)
+
+    def precond(x):
+        return jnp.einsum("nij,nj->ni", Minv, x)
+
+    x0 = jnp.zeros_like(v_rhs)
+    r0 = v_rhs - S_matvec(x0)
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+    denom0 = jnp.maximum(jnp.sum(v_rhs * v_rhs), 1e-20)
+
+    def pcg_body(carry):
+        x, rr, z, p, rz, it = carry
+        Sp = S_matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, rr, z, p, rz_new, it + 1
+
+    def pcg_cond(carry):
+        x, rr, z, p, rz, it = carry
+        return (it < cfg.pcg_iterations) & (jnp.sum(rr * rr) / denom0 > cfg.pcg_tol**2)
+
+    dc, *_ = jax.lax.while_loop(pcg_cond, pcg_body, (x0, r0, z0, z0, rz0, 0))
+
+    # Back-substitute: dp = Hpp_inv (bp - G dc).
+    dc_tw = window_slices(dc.reshape(-1))[bucket.track_window]
+    Hpc_dc = jnp.einsum("tin,tn->ti", G_loc, dc_tw, preferred_element_type=r.dtype)
+    dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
+    return dc, dp
+
+
 def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     """Closed-form batched 3x3 inverse (adjugate / det). ~25x faster than
     jnp.linalg.inv's batched LU on TPU for huge batches of tiny matrices
@@ -1342,9 +1459,10 @@ def lm_optimize(
     lidar odometry — reference _between_factors); dense-Schur path only.
     band_plan: arrays from auto_band(scene); required iff cfg.band is set.
     """
-    if priors is not None and not _use_dense_schur(scene):
-        raise NotImplementedError("relative-pose priors require the dense Schur path")
     use_band = cfg.band is not None
+    band_dense = use_band and scene.num_cameras_padded <= _DENSE_SCHUR_MAX_CAMERAS
+    if priors is not None and not (band_dense or _use_dense_schur(scene)):
+        raise NotImplementedError("relative-pose priors require the dense Schur path")
     if use_band and (band_plan is None or cfg.bucket_l is None):
         raise ValueError("cfg.band requires band_plan and bucket_l")
     N = scene.num_cameras_padded
@@ -1382,7 +1500,7 @@ def lm_optimize(
         meas_mask=scene.meas_mask[order],
     )
 
-    use_dense = _use_dense_schur(scene) or use_band
+    use_dense = _use_dense_schur(scene) or band_dense
     bucket = None
     if use_band:
         bucket = _make_band_bucket(scene, cfg.bucket_l, cfg.band[0], band_plan)
@@ -1411,7 +1529,10 @@ def lm_optimize(
     def body(carry):
         scene, blocks, lam, cost, it, _ = carry
         r, Jc, Jp = blocks
-        if use_dense:
+        if use_band and not band_dense:
+            # Large-N banded scene: window-local matrix-free PCG.
+            dc, dp = _schur_solve_pcg_banded(r, Jc, Jp, bucket, scene, lam, cfg)
+        elif use_dense:
             pb = None
             if priors is not None:
                 rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)

@@ -354,3 +354,35 @@ def test_auto_band_rejects_unbanded(rng):
     sc, _ = make_ba_problem(rng, n_cams=64, n_tracks=80)
     band, plan = ba.auto_band(sc)
     assert band is None and plan is None
+
+
+def test_banded_pcg_matches_dense_banded(rng, monkeypatch):
+    """Large-N banded path (matrix-free window-local PCG) converges to the
+    same solution as the dense banded Cholesky path."""
+    sc_gt = make_banded_problem(rng, n_cams=96, n_tracks=480)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    L = ba.auto_bucket_l(sc0)
+    band, plan = ba.auto_band(sc0)
+    assert band is not None
+
+    cfg = ba.BAConfig(
+        max_iterations=15, bucket_l=L, band=band, schur_bf16=False,
+        pcg_iterations=60, pcg_tol=1e-8,
+    )
+    res_dense = ba.lm_optimize(sc0, cfg, band_plan=plan)
+    # Force the PCG branch by shrinking the dense-Cholesky camera budget.
+    # The branch is chosen at TRACE time, so drop the jit cache to retrace.
+    monkeypatch.setattr(ba, "_DENSE_SCHUR_MAX_CAMERAS", 8)
+    ba.lm_optimize.clear_cache()
+    res_pcg = ba.lm_optimize(sc0, cfg, band_plan=plan)
+    ba.lm_optimize.clear_cache()  # don't leak PCG traces to later tests
+
+    assert float(res_pcg.initial_cost) == pytest.approx(
+        float(res_dense.initial_cost), rel=1e-5
+    )
+    assert float(res_pcg.final_cost) == pytest.approx(
+        float(res_dense.final_cost), rel=2e-2
+    )
+    errs, _ = res_pcg.scene.reprojection_errors()
+    m = np.asarray(res_pcg.scene.meas_mask) > 0
+    assert float(np.asarray(errs)[m].mean()) < 1.0
