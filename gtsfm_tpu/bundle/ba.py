@@ -1206,15 +1206,16 @@ def _solve_reduced(S: jnp.ndarray, v: jnp.ndarray, cfg: BAConfig, D: int) -> jnp
 
 def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
                             lam, cfg: BAConfig):
-    """Camera-banded matrix-free Schur + PCG for LARGE camera counts.
+    """Camera-banded Schur + PCG for LARGE camera counts.
 
     Same window-local assembly as _schur_solve_dense_banded (Hcc/bc GEMM
-    routing, bf16 local coupling G_loc over 2C lanes), but the reduced camera
-    system is never materialized: its matvec is a per-track window gather +
-    two G_loc sweeps + window overlap-add — O(T*L*(2C)*D) per sweep instead
-    of the flat PCG path's O(T*L*N*D) one-hot routing, an N/(2C)x saving.
-    Used when the (ND)^2 dense Cholesky is out of reach (N > ~400 cameras)
-    and the scene has camera-band structure (sequential captures).
+    routing, bf16 local coupling G_loc, per-window reduction blocks S_win
+    (B, 2CD, 2CD) built ONCE per LM iteration), but the dense (ND)^2 system
+    is never materialized: PCG runs with the band kept in window-block form —
+    each matvec is one batched (B, 2CD, 2CD) @ (B, 2CD) product + window
+    overlap-add, O(B (2CD)^2) instead of (ND)^2. Used when the dense
+    Cholesky is out of reach (N > ~400 cameras) and the scene has
+    camera-band structure (sequential captures).
     """
     C_, B_, T2, Tb, K = cfg.band
     N = scene.num_cameras_padded
@@ -1260,6 +1261,18 @@ def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
         G4 = G4 + sel[:, None, :, None] * W[:, l, :, None, :]
     G_loc = bar(G4.reshape(T2, 3, Wd * D))
 
+    # Per-window reduction blocks S_win[w] = sum_{t in w} G_t^T Hpp_inv_t G_t
+    # (local 2CD lanes) — built once; every PCG matvec then runs on these
+    # tiny blocks instead of sweeping the T2-row coupling.
+    C_loc = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G_loc))
+    S_blk = jax.lax.dot_general(
+        G_loc.reshape(K, Tb * 3, Wd * D), C_loc.reshape(K, Tb * 3, Wd * D),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=r.dtype,
+    )  # (K, WdD, WdD) f32
+    S_win = bar(jax.ops.segment_sum(S_blk, bucket.block_window, num_segments=B_,
+                                    indices_are_sorted=True))
+
     def window_slices(x_flat):
         """(N*D,) camera vector -> (B, WdD) per-window slices (gather-free)."""
         ext = jnp.zeros(((B_ + 1) * CD,), x_flat.dtype).at[: N * D].set(x_flat)
@@ -1273,11 +1286,9 @@ def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
         return _win_overlap_add(y_win, B_, CD)[: N * D]
 
     def S_matvec(x):  # x (N, D)
-        x_tw = window_slices(x.reshape(-1))[bucket.track_window]  # (T2, WdD)
-        y = jnp.einsum("tin,tn->ti", G_loc, x_tw, preferred_element_type=x.dtype)
-        z = jnp.einsum("tij,tj->ti", Hpp_inv, y)
-        back = jnp.einsum("tin,ti->tn", G_loc, z, preferred_element_type=x.dtype)
-        red = route_back(back).reshape(N, D)
+        xw = window_slices(x.reshape(-1))  # (B, WdD)
+        yw = jnp.einsum("wij,wj->wi", S_win, xw)
+        red = _win_overlap_add(yw, B_, CD)[: N * D].reshape(N, D)
         direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
         return direct - red
 
