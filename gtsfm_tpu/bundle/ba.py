@@ -352,12 +352,16 @@ def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
     def pcg_body(carry):
         x, rr, z, p, rz, it = carry
         Sp = S_matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        # Non-positive curvature (possible from bf16-rounded reduction blocks
+        # near singular gauge directions): stall rather than explode — the LM
+        # accept/reject loop then retries with more damping.
+        pSp = jnp.sum(p * Sp)
+        alpha = jnp.where(pSp > 1e-20, rz / pSp, 0.0)
         x = x + alpha * p
         rr = rr - alpha * Sp
         z = precond(rr)
         rz_new = jnp.sum(rr * z)
-        beta = rz_new / jnp.maximum(rz, 1e-20)
+        beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
         p = z + beta * p
         return x, rr, z, p, rz_new, it + 1
 
@@ -806,12 +810,16 @@ def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAC
     def pcg_body(carry):
         x, rr, z, p, rz, it = carry
         Sp = S_matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        # Non-positive curvature (possible from bf16-rounded reduction blocks
+        # near singular gauge directions): stall rather than explode — the LM
+        # accept/reject loop then retries with more damping.
+        pSp = jnp.sum(p * Sp)
+        alpha = jnp.where(pSp > 1e-20, rz / pSp, 0.0)
         x = x + alpha * p
         rr = rr - alpha * Sp
         z = precond(rr)
         rz_new = jnp.sum(rr * z)
-        beta = rz_new / jnp.maximum(rz, 1e-20)
+        beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
         p = z + beta * p
         return x, rr, z, p, rz_new, it + 1
 
@@ -980,16 +988,25 @@ def _routed_states_banded(scene: SceneData, bucket: "_BandBucket",
 
 
 def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
-                         cam_free: jnp.ndarray):
-    """_build_blocks_bucketed for the banded layout (gather-routed states)."""
+                         cam_free: jnp.ndarray,
+                         points: jnp.ndarray | None = None,
+                         track_mask: jnp.ndarray | None = None):
+    """_build_blocks_bucketed for the banded layout (gather-routed states).
+
+    points/track_mask default to the scene's; pass explicit ROW-SHARDED
+    slices (matching bucket's row range) inside shard_map."""
+    if points is None:
+        points = scene.points
+    if track_mask is None:
+        track_mask = scene.track_mask
     T2, L = bucket.bmask.shape
     wRi, wti, cal, cam_free_slot = _routed_states_banded(scene, bucket, cam_free)
-    X = jnp.broadcast_to(scene.points[:, None, :], (T2, L, 3)).reshape(-1, 3)
+    X = jnp.broadcast_to(points[:, None, :], (T2, L, 3)).reshape(-1, 3)
     uv = bucket.uv_b.reshape(-1, 2)
 
     r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
 
-    tmask = jnp.broadcast_to(scene.track_mask[:, None], (T2, L)).reshape(-1)
+    tmask = jnp.broadcast_to(track_mask[:, None], (T2, L)).reshape(-1)
     live = (bucket.bmask.reshape(-1) * tmask) > 0
     r = jnp.where(live[:, None], r, 0.0)
     Jc = jnp.where(live[:, None, None], Jc, 0.0)
@@ -1192,12 +1209,13 @@ def _solve_reduced(S: jnp.ndarray, v: jnp.ndarray, cfg: BAConfig, D: int) -> jnp
     def body(_, c):
         x, rr, p, rz = c
         Sp = S @ p
-        alpha = rz / jnp.maximum(p @ Sp, 1e-30)
+        pSp = p @ Sp
+        alpha = jnp.where(pSp > 1e-30, rz / pSp, 0.0)
         x = x + alpha * p
         rr = rr - alpha * Sp
         z = pc(rr)
         rz2 = rr @ z
-        beta = rz2 / jnp.maximum(rz, 1e-30)
+        beta = jnp.where(rz > 1e-30, rz2 / rz, 0.0)
         return (x, rr, z + beta * p, rz2)
 
     x, *_ = jax.lax.fori_loop(0, cfg.reduced_cg_iters, body, (x, rr, p, rz))
@@ -1310,12 +1328,16 @@ def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     def pcg_body(carry):
         x, rr, z, p, rz, it = carry
         Sp = S_matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        # Non-positive curvature (possible from bf16-rounded reduction blocks
+        # near singular gauge directions): stall rather than explode — the LM
+        # accept/reject loop then retries with more damping.
+        pSp = jnp.sum(p * Sp)
+        alpha = jnp.where(pSp > 1e-20, rz / pSp, 0.0)
         x = x + alpha * p
         rr = rr - alpha * Sp
         z = precond(rr)
         rz_new = jnp.sum(rr * z)
-        beta = rz_new / jnp.maximum(rz, 1e-20)
+        beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
         p = z + beta * p
         return x, rr, z, p, rz_new, it + 1
 

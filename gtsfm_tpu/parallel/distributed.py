@@ -177,17 +177,244 @@ def distributed_ba_gn_step_tracksharded(
     )
 
 
+def distributed_ba_gn_step_banded(
+    mesh: Mesh,
+    scene: SceneData,
+    bucket_l: int,
+    band: tuple,
+    band_plan: "ba.BandPlan",
+    lam: float = 1e-4,
+    cfg: ba.BAConfig = ba.BAConfig(),
+) -> SceneData:
+    """One damped GN step with camera-BANDED row-sharded Schur reduction —
+    the production multi-chip layout for LARGE sequential scenes.
+
+    Each device owns a contiguous slice of banded track rows (whole Tb-row
+    blocks) and reduces its coupling into per-window blocks; THE one psum of
+    the step moves only the (B, 2CD, 2CD) window reduction blocks plus the
+    (B, ...) Hcc/bc/rhs window accumulations over ICI — O(B (2CD)^2) bytes,
+    independent of the measurement count and (N/2C)^2 x smaller than
+    psumming a dense (ND)^2 reduction. The reduced solve (window-block PCG,
+    bundle/ba._schur_solve_pcg_banded's formulation) is replicated; point
+    back-substitution stays local to each shard.
+    """
+    import dataclasses
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    C_, B_, T2, Tb, K = band
+    N = scene.num_cameras_padded
+    Wd = 2 * C_
+
+    first_live = jnp.argmax(scene.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+
+    # Banded-row regroup + (track, cam) sort — lm_optimize's banded prologue.
+    rot = band_plan.row_of_track
+    sc2 = dataclasses.replace(
+        scene,
+        points=jnp.zeros((T2, 3), scene.points.dtype).at[rot].set(scene.points),
+        track_mask=jnp.zeros((T2,), scene.track_mask.dtype).at[rot].set(scene.track_mask),
+        meas_track=jnp.clip(rot[scene.meas_track], 0, T2 - 1),
+    )
+    sort_track = jnp.where(sc2.meas_mask > 0, sc2.meas_track, T2)
+    order = jnp.argsort(sort_track * N + sc2.meas_cam)
+    sc2 = dataclasses.replace(
+        sc2,
+        meas_cam=sc2.meas_cam[order], meas_track=sc2.meas_track[order],
+        meas_uv=sc2.meas_uv[order], meas_mask=sc2.meas_mask[order],
+    )
+    bucket = ba._make_band_bucket(sc2, bucket_l, C_, band_plan)
+
+    # Pad whole Tb-row blocks (fully masked, last window) so the row-block
+    # axis divides the mesh; padded rows contribute zeros everywhere.
+    pad_blocks = (-K) % n_dev
+    pts_all = sc2.points
+    tmask_all = sc2.track_mask
+    if pad_blocks:
+        pr = pad_blocks * Tb
+        L_ = bucket.bmask.shape[1]
+        z = lambda a, shp: jnp.concatenate([a, jnp.zeros(shp, a.dtype)], 0)
+        bucket = ba._BandBucket(
+            cam_b=z(bucket.cam_b, (pr, L_)),
+            uv_b=z(bucket.uv_b, (pr, L_, 2)),
+            bmask=z(bucket.bmask, (pr, L_)),
+            onehot_loc=z(bucket.onehot_loc, (pr, L_, Wd)),
+            track_window=jnp.concatenate(
+                [bucket.track_window,
+                 jnp.full((pr,), B_ - 1, bucket.track_window.dtype)], 0),
+            block_window=jnp.concatenate(
+                [bucket.block_window,
+                 jnp.full((pad_blocks,), B_ - 1, bucket.block_window.dtype)], 0),
+        )
+        pts_all = z(pts_all, (pr, 3))
+        tmask_all = z(tmask_all, (pr,))
+
+    bucket_spec = ba._BandBucket(
+        cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot_loc=P(axis),
+        track_window=P(axis), block_window=P(axis),
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(bucket_spec, P(axis), P(axis), P()),
+        out_specs=(P(), P(axis)),
+    )
+    def step(bkt, pts, tmask, lam_arr):
+        T2l, L = bkt.bmask.shape
+        Kl = bkt.block_window.shape[0]
+        D = ba._cam_dim(cfg)
+        CD = C_ * D
+        lam_v = lam_arr[0]
+
+        r, Jc, Jp, _ = ba._build_blocks_banded(
+            sc2, bkt, cfg, cam_free, points=pts, track_mask=tmask
+        )
+        Jc_b = Jc.reshape(T2l, L, 2, D)
+        Jp_b = Jp.reshape(T2l, L, 2, 3)
+
+        # Window-accumulated Hcc/bc on this shard's rows.
+        JJ = ba._outer2(Jc, Jc).reshape(T2l * L, D * D)
+        Jr = ba._matvec2(Jc, r.reshape(T2l * L, 2))
+        JJr = jnp.concatenate([JJ, Jr], -1)
+        ohb = bkt.onehot_loc.reshape(Kl, (T2l // Kl) * L, Wd)
+        hw_blk = jax.lax.dot_general(
+            ohb, JJr.reshape(Kl, (T2l // Kl) * L, D * D + D),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=r.dtype,
+        )
+        hw_l = jax.ops.segment_sum(
+            hw_blk, bkt.block_window, num_segments=B_, indices_are_sorted=True
+        )
+
+        # Local point blocks.
+        Hpp = ba._outer2(Jp_b, Jp_b).sum(1)
+        bp = -ba._matvec2(Jp_b, r.reshape(T2l, L, 2)).sum(1)
+        Hpp_d = Hpp + (lam_v * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(ba.PT_DIM)
+        Hpp_inv = ba._inv3x3(Hpp_d)
+
+        # Local window coupling + per-window reduction blocks.
+        g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+        W = ba._outer2(Jp_b.astype(g_dtype), Jc_b.astype(g_dtype))
+        cam_loc = jnp.clip(bkt.cam_b - bkt.track_window[:, None] * C_, 0, Wd - 1)
+        lane = jnp.arange(Wd, dtype=jnp.int32)
+        G4 = jnp.zeros((T2l, 3, Wd, D), g_dtype)
+        for l in range(L):
+            sel = (cam_loc[:, l, None] == lane[None, :]).astype(g_dtype)
+            G4 = G4 + sel[:, None, :, None] * W[:, l, :, None, :]
+        G_loc = G4.reshape(T2l, 3, Wd * D)
+        C_loc = jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G_loc)
+        S_blk = jax.lax.dot_general(
+            G_loc.reshape(Kl, (T2l // Kl) * 3, Wd * D),
+            C_loc.reshape(Kl, (T2l // Kl) * 3, Wd * D),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=r.dtype,
+        )
+        S_win_l = jax.ops.segment_sum(
+            S_blk, bkt.block_window, num_segments=B_, indices_are_sorted=True
+        )
+
+        hb = jnp.einsum("tij,tj->ti", Hpp_inv, bp)
+        y_loc = jnp.einsum("tin,ti->tn", G_loc, hb, preferred_element_type=r.dtype)
+        y_win_l = jax.ops.segment_sum(
+            y_loc, bkt.track_window, num_segments=B_, indices_are_sorted=True
+        )
+
+        # THE one collective of the step: window-block accumulations only.
+        hw, S_win, y_win = jax.lax.psum((hw_l, S_win_l, y_win_l), axis)
+
+        # Replicated reduced solve (window-block PCG).
+        acc = ba._win_overlap_add(
+            hw.reshape(B_, Wd * (D * D + D)), B_, C_ * (D * D + D)
+        ).reshape((B_ + 1) * C_, D * D + D)[:N]
+        Hcc = acc[:, : D * D].reshape(N, D, D)
+        bc = -acc[:, D * D:]
+        Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
+        v_rhs = bc - ba._win_overlap_add(y_win, B_, CD)[: N * D].reshape(N, D)
+
+        def window_slices(x_flat):
+            ext = jnp.zeros(((B_ + 1) * CD,), x_flat.dtype).at[: N * D].set(x_flat)
+            rows = ext.reshape(B_ + 1, CD)
+            return jnp.concatenate([rows[:-1], rows[1:]], axis=-1)
+
+        def S_matvec(x):
+            xw = window_slices(x.reshape(-1))
+            yw = jnp.einsum("wij,wj->wi", S_win, xw)
+            red = ba._win_overlap_add(yw, B_, CD)[: N * D].reshape(N, D)
+            return jnp.einsum("nij,nj->ni", Hcc_d, x) - red
+
+        Minv = jnp.linalg.inv(Hcc_d)
+
+        def precond(x):
+            return jnp.einsum("nij,nj->ni", Minv, x)
+
+        x0 = jnp.zeros_like(v_rhs)
+        r0 = v_rhs - S_matvec(x0)
+        z0 = precond(r0)
+        rz0 = jnp.sum(r0 * z0)
+        denom0 = jnp.maximum(jnp.sum(v_rhs * v_rhs), 1e-20)
+
+        def pcg_body(carry):
+            x, rr, z, p, rz, it = carry
+            Sp = S_matvec(p)
+            pSp = jnp.sum(p * Sp)
+            alpha = jnp.where(pSp > 1e-20, rz / pSp, 0.0)
+            x = x + alpha * p
+            rr = rr - alpha * Sp
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+            return x, rr, z, z + beta * p, rz_new, it + 1
+
+        def pcg_cond(carry):
+            x, rr, z, p, rz, it = carry
+            return (it < cfg.pcg_iterations) & (jnp.sum(rr * rr) / denom0 > cfg.pcg_tol**2)
+
+        dc, *_ = jax.lax.while_loop(pcg_cond, pcg_body, (x0, r0, z0, z0, rz0, 0))
+
+        # Local point back-substitution.
+        dc_tw = window_slices(dc.reshape(-1))[bkt.track_window]
+        Hpc_dc = jnp.einsum("tin,tn->ti", G_loc, dc_tw, preferred_element_type=r.dtype)
+        dp_l = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
+        return dc, dp_l
+
+    dc, dp = step(
+        bucket, pts_all, tmask_all, jnp.asarray([lam], scene.meas_uv.dtype)
+    )
+    dp = dp[:T2]
+    if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
+        dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
+    R, t, cal = ba._apply_camera_delta(sc2.wRi, sc2.wti, sc2.cal, dc)
+    out = dataclasses.replace(
+        sc2, wRi=R, wti=t, cal=cal, points=sc2.points + dp
+    )
+    # Undo the banded regrouping (input track layout; measurements stay sorted).
+    return dataclasses.replace(
+        out,
+        points=out.points[rot],
+        track_mask=out.track_mask[rot],
+        meas_track=band_plan.old_of_row[
+            jnp.clip(out.meas_track, 0, band_plan.old_of_row.shape[0] - 1)
+        ],
+    )
+
+
 def distributed_lm_optimize(
     mesh: Mesh,
     scene: SceneData,
     cfg: ba.BAConfig = ba.BAConfig(),
+    band_plan: "ba.BandPlan | None" = None,
 ) -> tuple[SceneData, dict]:
     """Full distributed LM loop with host-side damping/acceptance — the
     distributed analog of bundle/ba.lm_optimize for problems exceeding one
     chip. Cost evaluation is replicated (cameras/points are small).
 
-    With cfg.bucket_l set, each iteration is the track-sharded bucketed step
-    (one psum per step); otherwise the measurement-sharded psum-Schur PCG.
+    With cfg.band + band_plan set, each iteration is the BANDED row-sharded
+    step (one psum of window blocks — the large-scene production layout);
+    with cfg.bucket_l alone, the track-sharded bucketed step (one psum of the
+    dense reduction); otherwise the measurement-sharded psum-Schur PCG.
 
     Returns (optimized scene, stats dict).
     """
@@ -196,7 +423,12 @@ def distributed_lm_optimize(
     cost0 = cost
     accepted = 0
     for it in range(cfg.max_iterations):
-        if cfg.bucket_l is not None:
+        if cfg.band is not None:
+            assert band_plan is not None, "cfg.band requires band_plan"
+            cand = distributed_ba_gn_step_banded(
+                mesh, scene, cfg.bucket_l, cfg.band, band_plan, lam=lam, cfg=cfg
+            )
+        elif cfg.bucket_l is not None:
             cand = distributed_ba_gn_step_tracksharded(
                 mesh, scene, cfg.bucket_l, lam=lam, cfg=cfg
             )
@@ -318,12 +550,13 @@ def distributed_ba_gn_step(
         def cg_body(c, _):
             x, rr, z, p, rz = c
             Sp = S_matvec(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+            pSp = jnp.sum(p * Sp)
+            alpha = jnp.where(pSp > 1e-20, rz / pSp, 0.0)
             x = x + alpha * p
             rr = rr - alpha * Sp
             z = pc(rr)
             rz_new = jnp.sum(rr * z)
-            beta = rz_new / jnp.maximum(rz, 1e-20)
+            beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
             return (x, rr, z, z + beta * p, rz_new), None
 
         (dc, *_), _ = jax.lax.scan(cg_body, (x, rr, z, p, rz), None, length=cfg.pcg_iterations)

@@ -138,3 +138,35 @@ def test_distributed_lm_bucketed_converges(rng):
     m = sc1.meas_mask > 0
     mean_err = float(jnp.where(m, err, 0).sum() / m.sum())
     assert mean_err < 0.1, (mean_err, stats)
+
+
+def test_banded_distributed_lm_matches_single_device(rng):
+    """Banded row-sharded distributed LM (window-block psum) reaches the
+    single-device banded optimizer's solution quality."""
+    from tests.bundle.test_ba import make_banded_problem
+
+    mesh = distributed.make_mesh()
+    sc_gt = make_banded_problem(rng, n_cams=96, n_tracks=480)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    L = ba.auto_bucket_l(sc0)
+    band, plan = ba.auto_band(sc0, tb=16)
+    assert band is not None
+
+    cfg = ba.BAConfig(
+        max_iterations=12, bucket_l=L, band=band, schur_bf16=False,
+        pcg_iterations=60, pcg_tol=1e-8,
+    )
+    sc_dist, stats = distributed.distributed_lm_optimize(
+        mesh, sc0, cfg, band_plan=plan
+    )
+    res_single = ba.lm_optimize(sc0, cfg, band_plan=plan)
+
+    assert stats["accepted"] >= 1
+    assert stats["final_cost"] < 0.5 * stats["initial_cost"]
+    assert stats["final_cost"] == pytest.approx(
+        float(res_single.final_cost), rel=5e-2
+    )
+    # Track layout restored: reprojection on the returned scene is sane.
+    errs, _ = sc_dist.reprojection_errors()
+    m = np.asarray(sc_dist.meas_mask) > 0
+    assert float(np.asarray(errs)[m].mean()) < 1.0
