@@ -61,9 +61,17 @@ class MultiViewConfig:
 
 @dataclasses.dataclass
 class RetrieverConfig:
-    regime: str = "exhaustive"  # exhaustive | sequential | retrieval
+    # exhaustive | sequential | retrieval | sequential_with_retrieval
+    # (reference ImageMatchingRegime, retriever_base.py)
+    regime: str = "exhaustive"
     max_frame_lookahead: int = 10
     num_matched: int = 5
+    min_score: float = 0.1  # reference netvlad_retriever min similarity
+    # hloc VGG16-NetVLAD-pitts30k .mat checkpoint for the retrieval regimes;
+    # without one the global descriptor refuses to run unless
+    # allow_random_weights (tests only).
+    netvlad_checkpoint: str | None = None
+    allow_random_weights: bool = False
 
 
 @dataclasses.dataclass
@@ -85,6 +93,9 @@ class PipelineConfig:
     output_root: str = "results"
     cache_dir: str = "cache"
     enable_cache: bool = True
+    # Persistent XLA compile cache under cache_dir (independent of
+    # enable_cache, which governs front-end RESULT reuse).
+    compile_cache: bool = True
     seed: int = 0
     # jax.profiler trace output dir (Perfetto/TensorBoard); None disables.
     # TPU analog of the reference's dask performance_report HTMLs
