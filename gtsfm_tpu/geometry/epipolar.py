@@ -93,14 +93,131 @@ def _normalize_points(x: jnp.ndarray, w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.
     return xn, T
 
 
+def _chol9_unrolled(M: jnp.ndarray, eps: jnp.ndarray) -> list:
+    """Batched unrolled Cholesky of (M + eps I), n = 9.
+
+    Returns the lower factor as a python list-of-lists of batched scalars.
+    Fully elementwise: batched lax Cholesky on millions of tiny matrices
+    lowers to a blocked iterative algorithm orders of magnitude slower."""
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[..., i, j] + (eps if i == j else 0.0)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol9_solve(L: list, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b with the unrolled factor; b (..., 9)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def _smallest_eigvec_sym9(M: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
+    """Smallest-eigenvalue eigenvector of batched 9x9 PSD matrices via
+    inverse iteration with a tiny shift (unrolled batched Cholesky solves)."""
+    tr = jnp.trace(M, axis1=-2, axis2=-1)
+    L = _chol9_unrolled(M, 1e-7 * tr + 1e-12)
+    v = jnp.ones(M.shape[:-2] + (9,), M.dtype)
+    v = v.at[..., 0].set(1.31).at[..., 4].set(0.47).at[..., 8].set(0.83)
+    for _ in range(iters):
+        v = _chol9_solve(L, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
+def _smallest_eigvec_sym3(A: jnp.ndarray, polish_iters: int = 8) -> jnp.ndarray:
+    """Smallest-eigenvalue eigenvector of batched symmetric PSD 3x3 matrices:
+    adjugate column (exact for rank-2) + shifted power-iteration polish."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e = A[..., 1, 1], A[..., 1, 2]
+    f = A[..., 2, 2]
+    # Cofactor matrix of the symmetric A (equals its adjugate).
+    C00 = d * f - e * e
+    C01 = c * e - b * f
+    C02 = b * e - c * d
+    C11 = a * f - c * c
+    C12 = b * c - a * e
+    C22 = a * d - b * b
+    adj = jnp.stack(
+        [
+            jnp.stack([C00, C01, C02], -1),
+            jnp.stack([C01, C11, C12], -1),
+            jnp.stack([C02, C12, C22], -1),
+        ],
+        -2,
+    )
+    norms = jnp.linalg.norm(adj, axis=-2)
+    col = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(adj, col[..., None, None], axis=-1)[..., 0]
+    nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = jnp.where(nv > 1e-30, v / jnp.maximum(nv, 1e-30),
+                  jnp.asarray([0.27, 0.53, 0.80], A.dtype))
+    sigma = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
+    S = sigma * jnp.eye(3, dtype=A.dtype) - A
+
+    def body(v, _):
+        w = jnp.einsum("...ij,...j->...i", S, v)
+        return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30), None
+
+    v, _ = jax.lax.scan(body, v, None, length=polish_iters)
+    return v
+
+
+def _invsqrt_spd3(G: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
+    """Batched G^{-1/2} for SPD 3x3 via scaled Newton-Schulz (matmul-only)."""
+    tr = jnp.trace(G, axis1=-2, axis2=-1)[..., None, None]
+    c = jnp.maximum(tr, 1e-20)
+    Y = G / c  # spectrum in (0, 1]
+    Z = jnp.broadcast_to(jnp.eye(3, dtype=G.dtype), G.shape)
+    I = jnp.eye(3, dtype=G.dtype)
+
+    def body(carry, _):
+        Y, Z = carry
+        T = 0.5 * (3.0 * I - Z @ Y)
+        return (Y @ T, T @ Z), None
+
+    (Y, Z), _ = jax.lax.scan(body, (Y, Z), None, length=iters)
+    # Z -> (G/c)^{-1/2}; scale back.
+    return Z / jnp.sqrt(c)
+
+
+def _rank2_project(F: jnp.ndarray) -> jnp.ndarray:
+    """Nearest rank-2 matrix (zero the smallest singular value) without SVD:
+    F - (F v3) v3^T with v3 the smallest right-singular vector."""
+    v3 = _smallest_eigvec_sym3(jnp.swapaxes(F, -1, -2) @ F)
+    Fv3 = jnp.einsum("...ij,...j->...i", F, v3)
+    return F - Fv3[..., :, None] * v3[..., None, :]
+
+
 def fundamental_from_eight_point(
     x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """Weighted, normalized 8-point algorithm. Batched over leading dims.
 
     x1, x2: (..., N, 2) with N >= 8; w: (..., N) soft weights (0 masks a row).
-    Returns F (..., 3, 3) with rank-2 constraint enforced. Solved via eigh of
-    A^T A (9x9) — batched-friendly on TPU, no per-sample SVD of an Nx9.
+    Returns F (..., 3, 3) with rank-2 constraint enforced. The 9x9 normal
+    system's smallest eigenvector comes from unrolled-Cholesky inverse
+    iteration and the rank-2 projection is SVD-free — batched jnp.linalg
+    eigh/svd on millions of tiny matrices serialize on TPU.
     """
     if w is None:
         w = jnp.ones(x1.shape[:-1], x1.dtype)
@@ -115,13 +232,9 @@ def fundamental_from_eight_point(
     )  # (..., N, 9)
     A = A * w[..., None]
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[..., :, 0]  # smallest eigenvalue eigenvector
+    f = _smallest_eigvec_sym9(AtA)
     F = f.reshape(f.shape[:-1] + (3, 3))
-    # Rank-2 enforcement via SVD (3x3 — cheap, batched).
-    U, S, Vt = jnp.linalg.svd(F)
-    S2 = S.at[..., 2].set(0.0)
-    F = (U * S2[..., None, :]) @ Vt
+    F = _rank2_project(F)
     # Denormalize: F = T2^T Fn T1.
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     # Scale-normalize for stable thresholding.
@@ -133,11 +246,18 @@ def essential_from_eight_point(
     x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """8-point on normalized (calibrated) coords, projected to the essential
-    manifold (singular values -> (1, 1, 0))."""
+    manifold (singular values -> (1, 1, 0)).
+
+    SVD-free projection: with v3 the smallest right-singular vector of F and
+    B = F (I - v3 v3^T), E = B (B^T B + v3 v3^T)^{-1/2} = U diag(1,1,0) V^T
+    (the inverse square root rescales the two live singular values to 1 and
+    acts as identity on the v3 direction)."""
     F = fundamental_from_eight_point(x1, x2, w)
-    U, S, Vt = jnp.linalg.svd(F)
-    S_ess = jnp.stack([jnp.ones_like(S[..., 0]), jnp.ones_like(S[..., 0]), jnp.zeros_like(S[..., 0])], axis=-1)
-    return (U * S_ess[..., None, :]) @ Vt
+    v3 = _smallest_eigvec_sym3(jnp.swapaxes(F, -1, -2) @ F)
+    P = jnp.eye(3, dtype=F.dtype) - v3[..., :, None] * v3[..., None, :]
+    B = F @ P
+    G = jnp.swapaxes(B, -1, -2) @ B + v3[..., :, None] * v3[..., None, :]
+    return B @ _invsqrt_spd3(G)
 
 
 def decompose_essential(E: jnp.ndarray):

@@ -23,6 +23,62 @@ def projection_matrix(wRi: jnp.ndarray, wti: jnp.ndarray, K: jnp.ndarray) -> jnp
     return K @ Rt_full
 
 
+def _adjugate_sym4(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate of batched symmetric 4x4 matrices (cofactors)."""
+
+    def det3(r0, r1, r2):
+        a, b, c = r0
+        d, e, f = r1
+        g, h, i = r2
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    rows = [[M[..., i, j] for j in range(4)] for i in range(4)]
+    idx = [0, 1, 2, 3]
+    C = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        ri = [r for r in idx if r != i]
+        for j in range(4):
+            cj = [c for c in idx if c != j]
+            minor = det3(
+                [rows[ri[0]][c] for c in cj],
+                [rows[ri[1]][c] for c in cj],
+                [rows[ri[2]][c] for c in cj],
+            )
+            C[i][j] = ((-1.0) ** (i + j)) * minor
+    # adj = cofactor^T; M symmetric -> adj symmetric, transpose optional.
+    return jnp.stack([jnp.stack([C[j][i] for j in range(4)], -1) for i in range(4)], -2)
+
+
+def _smallest_eigvec_sym4(M: jnp.ndarray, polish_iters: int = 8) -> jnp.ndarray:
+    """Smallest-eigenvalue eigenvector of batched symmetric PSD 4x4 matrices.
+
+    adj(M) = sum_i (prod_{j != i} lam_j) v_i v_i^T is dominated by the
+    smallest-eigenvalue term for the near-rank-3 DLT normal matrices, so its
+    largest column IS (to first order) the wanted eigenvector; a few shifted
+    power iterations on (tr(M) I - M) polish it. All closed-form/elementwise —
+    batched jnp.linalg.eigh on millions of tiny matrices lowers to an
+    iterative blocked algorithm that is orders of magnitude slower on TPU
+    (same pathology as tiny LU/Cholesky)."""
+    adj = _adjugate_sym4(M)
+    norms = jnp.linalg.norm(adj, axis=-2)  # column norms (..., 4)
+    col = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(adj, col[..., None, None], axis=-1)[..., 0]
+    nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Degenerate (adj ~ 0, e.g. fully masked or rank <= 2): fall back to a
+    # fixed start for the power iterations.
+    v = jnp.where(nv > 1e-25, v / jnp.maximum(nv, 1e-30), jnp.asarray([0.5, 0.5, 0.5, 0.7], M.dtype))
+
+    sigma = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    A = sigma * jnp.eye(4, dtype=M.dtype) - M
+
+    def body(v, _):
+        w = jnp.einsum("...ij,...j->...i", A, v)
+        return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-20), None
+
+    v, _ = jax.lax.scan(body, v, None, length=polish_iters)
+    return v
+
+
 def triangulate_tracks_dlt(
     P: jnp.ndarray, uv: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
@@ -34,8 +90,7 @@ def triangulate_tracks_dlt(
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
     A = A * m2[..., None]
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    Xh = vecs[..., :, 0]
+    Xh = _smallest_eigvec_sym4(AtA)
     w = Xh[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return Xh[..., :3] / w[..., None]

@@ -60,42 +60,55 @@ def mfas_outlier_weights(
     edges_b = jnp.asarray(edges[:, 0], jnp.int32)  # node i1 ("to")
     proj = jnp.einsum("dk,ek->de", jnp.asarray(dirs), jnp.asarray(w_directions))  # (D, E)
 
+    # Dense per-projection adjacency A[d, i, j] = weight of directed edge
+    # i->j: built ONCE per projection with two (n, E)(E, n) MXU matmuls
+    # against fixed endpoint one-hots; the greedy ordering scan then updates
+    # node tallies by reading pick's row/column — O(n) per step instead of
+    # re-scanning all E edges (the edge-scan form moved ~n*E*D floats per
+    # sweep and was ~20x slower at 512 cams / 5k edges / 512 projections).
+    Oa = jax.nn.one_hot(edges_a, n, dtype=proj.dtype)  # (E, n)
+    Ob = jax.nn.one_hot(edges_b, n, dtype=proj.dtype)
+
     @jax.jit
-    def run_all(proj):
-        def one(pw):
-            w_abs = jnp.abs(pw)
-            u = jnp.where(pw >= 0, edges_a, edges_b)
-            v = jnp.where(pw >= 0, edges_b, edges_a)
-            # out[i] = sum of w_abs over edges leaving i; in[i] over entering.
-            out_w = jax.ops.segment_sum(w_abs, u, num_segments=n)
-            in_w = jax.ops.segment_sum(w_abs, v, num_segments=n)
+    def run_chunk(proj_chunk):
+        w_abs = jnp.abs(proj_chunk)  # (Dc, E)
+        s_pos = jnp.where(proj_chunk >= 0, w_abs, 0.0)
+        s_neg = w_abs - s_pos
+        u = jnp.where(proj_chunk >= 0, edges_a[None], edges_b[None])  # (Dc, E)
+        v = jnp.where(proj_chunk >= 0, edges_b[None], edges_a[None])
 
-            def body(state, _):
-                remaining, net_out, net_in, pos, counter = state
-                score = jnp.where(remaining > 0, net_out - net_in, -jnp.inf)
-                pick = jnp.argmax(score)
-                remaining = remaining.at[pick].set(0.0)
-                pos = pos.at[pick].set(counter)
-                # Remove pick's edges from remaining nodes' tallies.
-                dec_out = jax.ops.segment_sum(
-                    jnp.where(v == pick, w_abs, 0.0), u, num_segments=n
-                )
-                dec_in = jax.ops.segment_sum(
-                    jnp.where(u == pick, w_abs, 0.0), v, num_segments=n
-                )
-                return (remaining, net_out - dec_out, net_in - dec_in, pos, counter + 1), None
+        def build(s):
+            sp, sn = s
+            return (Oa * sp[:, None]).T @ Ob + (Ob * sn[:, None]).T @ Oa
 
-            init = (
-                jnp.ones(n), out_w, in_w, jnp.zeros(n, jnp.int32), jnp.asarray(0, jnp.int32)
-            )
-            (remaining, _, _, pos, _), _ = jax.lax.scan(body, init, None, length=n)
-            # Edge u->v is a feedback (outlier) edge if pos[u] > pos[v].
-            backward = pos[u] > pos[v]
-            return jnp.where(backward, w_abs, 0.0)
+        A = jax.lax.map(build, (s_pos, s_neg))  # (Dc, n, n)
+        net0 = jnp.sum(A, axis=2) - jnp.sum(A, axis=1)  # out - in per node
+        Dc = proj_chunk.shape[0]
 
-        return jax.vmap(one)(proj)  # (D, E)
+        def body(state, counter):
+            remaining, net, pos = state
+            score = jnp.where(remaining > 0, net, -jnp.inf)
+            pick = jnp.argmax(score, axis=-1)  # (Dc,)
+            oh = jax.nn.one_hot(pick, n, dtype=remaining.dtype)
+            remaining = remaining * (1.0 - oh)
+            pos = jnp.where(oh > 0, counter, pos)
+            col = jnp.take_along_axis(A, pick[:, None, None], axis=2)[..., 0]
+            row = jnp.take_along_axis(A, pick[:, None, None], axis=1)[:, 0, :]
+            net = net - col + row
+            return (remaining, net, pos), None
 
-    outlier_w = np.asarray(run_all(proj))  # (D, E)
+        init = (jnp.ones((Dc, n), proj.dtype), net0, jnp.zeros((Dc, n), jnp.int32))
+        (remaining, _, pos), _ = jax.lax.scan(body, init, jnp.arange(n, dtype=jnp.int32))
+        pos_u = jnp.take_along_axis(pos, u, axis=1)
+        pos_v = jnp.take_along_axis(pos, v, axis=1)
+        return jnp.where(pos_u > pos_v, w_abs, 0.0)
+
+    # Chunk the projections to bound the dense adjacency's memory.
+    chunk = max(1, min(num_projections, int(2**27 // max(n * n, 1)) or 1))
+    outs = []
+    for s in range(0, num_projections, chunk):
+        outs.append(np.asarray(run_chunk(proj[s : s + chunk])))
+    outlier_w = np.concatenate(outs, axis=0)  # (D, E)
     proj_abs = np.abs(np.asarray(proj))
     # Reference accumulates outlier weight relative to total projection weight.
     denom = np.maximum(proj_abs.sum(0), 1e-9)
