@@ -65,6 +65,27 @@ def two_view_reports_from_results(
     return reports
 
 
+def save_two_view_reports(
+    reports: "dict[tuple[int, int], TwoViewEstimationReport]", path: str
+) -> None:
+    """Serialize per-pair reports as JSON (reference
+    save_full_frontend_metrics, scene_optimizer.py:418: one
+    two_view_report_{TAG}.json per pipeline point, consumed by the
+    dashboards)."""
+    import dataclasses as _dc
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = []
+    for (i1, i2), rep in sorted(reports.items()):
+        d = {"i1": int(i1), "i2": int(i2)}
+        d.update(_dc.asdict(rep))
+        rows.append(d)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 def pose_auc(errors_deg: np.ndarray, thresholds_deg=(1.0, 2.5, 5.0, 10.0)) -> dict[str, float]:
     """AUC of the pose-error CDF at the given thresholds
     (reference utils/metrics.py:516, the IMB/SuperGlue evaluation metric)."""

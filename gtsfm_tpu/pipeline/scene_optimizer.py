@@ -346,11 +346,15 @@ class SceneOptimizer:
             jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(cm), jnp.asarray(midx)
         )
 
-    def run_two_view(self, feats, cals, pairs, precomputed=None):
+    def run_two_view(self, feats, cals, pairs, precomputed=None,
+                     return_stages: bool = False):
         """Batched matching + batched RANSAC for all pairs at once.
 
         precomputed: optional (x1, x2, cm, idx) from the image-correspondence
-        path (LoFTR), bypassing descriptor matching."""
+        path (LoFTR), bypassing descriptor matching.
+        return_stages: also return {tag: TwoViewResult} snapshots at the
+        reference's report points (PRE_BA / POST_BA / POST_ISP,
+        two_view_estimator.py:38-41)."""
         fe = self.config.frontend
         tv = self.config.two_view
         if precomputed is not None:
@@ -415,6 +419,7 @@ class SceneOptimizer:
                 min_inlier_ratio=tv.min_inlier_ratio,
             )
 
+        stages = {}
         if tv.degeneracy_check:
             # GRIC H-vs-E selection on normalized coordinates (E acts as the
             # F of the normalized camera; sigma scales by the mean focal).
@@ -432,6 +437,7 @@ class SceneOptimizer:
                 int(jnp.sum(res.success)), len(pairs),
             )
 
+        stages["PRE_BA"] = res
         if tv.ba_enabled:
             from gtsfm_tpu.twoview import estimator as tv_est
 
@@ -442,14 +448,21 @@ class SceneOptimizer:
             )
             num_inl = jnp.sum(refined.inlier_mask, axis=-1)
             n_corr = jnp.maximum(jnp.sum(cm, axis=-1), 1.0)
-            res = ransac.TwoViewResult(
+            stages["POST_BA"] = ransac.TwoViewResult(
                 i2Ri1=refined.i2Ri1,
                 i2Ui1=refined.i2Ui1,
                 inlier_mask=refined.inlier_mask,
                 num_inliers=num_inl,
                 inlier_ratio=num_inl / n_corr,
-                success=res.success & (num_inl >= tv.min_inliers),
+                success=res.success,
             )
+            # Inlier-support gate (reference InlierSupportProcessor).
+            res = stages["POST_BA"]._replace(
+                success=res.success & (num_inl >= tv.min_inliers)
+            )
+        stages["POST_ISP"] = res
+        if return_stages:
+            return res, idx, stages
         return res, idx
 
     def run(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
@@ -532,9 +545,12 @@ class SceneOptimizer:
                 success=jnp.asarray(hit["success"]),
             )
             match_idx = jnp.asarray(hit["match_idx"])
+            tv_stages = {"POST_ISP": res}  # earlier stages not cached
             logger.info("two-view results loaded from cache")
         else:
-            res, match_idx = self.run_two_view(feats, cals, pairs, precomputed=precomputed)
+            res, match_idx, tv_stages = self.run_two_view(
+                feats, cals, pairs, precomputed=precomputed, return_stages=True
+            )
             tv_cache.save(
                 tv_key,
                 dict(
@@ -578,6 +594,19 @@ class SceneOptimizer:
         metrics.append(g)
         logger.info("two-view: %d/%d verified", int(ok.sum()), len(pairs))
 
+        # Per-pair frontend reports at every pipeline point (reference
+        # save_full_frontend_metrics tags PRE_BA/POST_BA/POST_ISP + VIEWGRAPH,
+        # scene_optimizer.py:418, two_view_estimator.py:38-41).
+        from gtsfm_tpu.evaluation import pose_metrics as _pm
+
+        num_matches_all = np.asarray(jnp.sum(match_idx >= 0, axis=-1))
+        frontend_reports = {
+            tag: _pm.two_view_reports_from_results(
+                pairs, st, num_matches_all, wRi_gt0, wti_gt0, gt_valid0
+            )
+            for tag, st in tv_stages.items()
+        }
+
         edges = np.asarray([p for k, p in enumerate(pairs) if ok[k]], np.int64)
         i2Ri1 = np.asarray(res.i2Ri1)[ok]
         i2Ui1 = np.asarray(res.i2Ui1)[ok]
@@ -590,6 +619,11 @@ class SceneOptimizer:
         g.add("num_retained_edges", int(keep.sum()))
         g.add("num_triplets", vg_info.get("num_triplets", 0))
         metrics.append(g)
+        kept_pairs = {tuple(e) for e in edges[keep].tolist()}
+        frontend_reports["VIEWGRAPH"] = {
+            pr: rep for pr, rep in frontend_reports["POST_ISP"].items()
+            if pr in kept_pairs
+        }
         edges, i2Ri1, i2Ui1 = edges[keep], i2Ri1[keep], i2Ui1[keep]
 
         # Rig/lidar prior edges join the averaging graph directly (they are
@@ -851,6 +885,14 @@ class SceneOptimizer:
                 file_names=loader.image_filenames(), image_sizes=sizes,
             )
             save_metrics_reports(metrics, os.path.join(out, "result_metrics"))
+            from gtsfm_tpu.evaluation import pose_metrics as _pm2
+
+            for tag, reps in frontend_reports.items():
+                _pm2.save_two_view_reports(
+                    reps,
+                    os.path.join(out, "result_metrics",
+                                 f"two_view_report_{tag}.json"),
+                )
             generate_metrics_report_html(
                 metrics, os.path.join(out, "result_metrics", "gtsfm_metrics_report.html")
             )
