@@ -237,6 +237,31 @@ def bench_sift(h=1088, w=736, n=32):
             "value": round(1.0 / dt, 1), "unit": "images/s"}
 
 
+def bench_plane_sweep(H=480, W=640, S=4, D=64, n=8):
+    import jax
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.densify import plane_sweep as ps
+
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+    srcs = jnp.asarray(rng.uniform(0, 1, (S, H, W)).astype(np.float32))
+    K = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    Ks = jnp.broadcast_to(K, (S, 3, 3))
+    Rs = jnp.broadcast_to(jnp.eye(3), (S, 3, 3))
+    ts = jnp.asarray(rng.normal(scale=0.2, size=(S, 3)).astype(np.float32))
+    args = (ref, srcs, K, Ks, Rs, ts, jnp.float32(2.0), jnp.float32(10.0))
+    r = ps.plane_sweep_depth(*args, num_depths=D)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = ps.plane_sweep_depth(*args, num_depths=D)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / n
+    return {"name": f"Plane-sweep MVS depth ({H}x{W}, {S} src views, {D} depths)",
+            "value": round(1.0 / dt, 1), "unit": "depth maps/s"}
+
+
 ALL = [
     bench_ba_dense_banded,
     bench_ba_banded_pcg,
@@ -246,6 +271,7 @@ ALL = [
     bench_ransac,
     bench_matching,
     bench_sift,
+    bench_plane_sweep,
 ]
 
 
