@@ -187,8 +187,10 @@ def _invsqrt_spd3(G: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
     tr = jnp.trace(G, axis1=-2, axis2=-1)[..., None, None]
     c = jnp.maximum(tr, 1e-20)
     Y = G / c  # spectrum in (0, 1]
-    Z = jnp.broadcast_to(jnp.eye(3, dtype=G.dtype), G.shape)
     I = jnp.eye(3, dtype=G.dtype)
+    # Derive Z from Y (not a fresh constant) so that inside shard_map the
+    # scan carry has the same varying-manual-axes type as its output.
+    Z = I + 0.0 * Y
 
     def body(carry, _):
         Y, Z = carry
