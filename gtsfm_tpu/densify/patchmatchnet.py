@@ -621,3 +621,141 @@ def convert_torch_checkpoint(path: str):
         },
     }
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level densify driver (reference gtsfm/densify/mvs_patchmatchnet.py:55)
+# ---------------------------------------------------------------------------
+
+
+def densify_patchmatchnet(
+    images,  # list of (H, W[,3]) arrays, same size, downscaled
+    scene,
+    checkpoint_path: str | None = None,
+    allow_random_weights: bool = False,
+    num_src_views: int = 4,
+    max_points_per_view: int = 60000,
+):
+    """Full learned-MVS engine: per-reference-view PatchmatchNet depth
+    inference + the same geometric-consistency fusion as the plane-sweep
+    engine (reference thresholds, mvs_patchmatchnet.py:35-52: >=1 consistent
+    source view, photometric confidence >= 0.8).
+
+    View selection reuses plane_sweep.select_source_views (shared-track
+    piecewise-Gaussian scoring — the reference's PatchmatchNetData view
+    selection, densify/patchmatchnet_data.py). Returns a
+    plane_sweep.DensifyResult so the pipeline treats both engines uniformly.
+    """
+    from gtsfm_tpu.densify import plane_sweep
+    from gtsfm_tpu.geometry import cameras
+
+    if checkpoint_path is not None:
+        params = convert_torch_checkpoint(checkpoint_path)
+    elif not allow_random_weights:
+        raise ValueError(
+            "patchmatchnet engine needs densify.patchmatchnet_checkpoint "
+            "(or allow_random_weights for tests)"
+        )
+    else:
+        params = None
+
+    N = scene.num_cameras_padded
+    cam_mask = np.asarray(scene.camera_mask) > 0
+    # RGB in [0,1], cropped to a multiple of 8 (FeatureNet stride).
+    rgb_list = []
+    for im in images:
+        a = np.asarray(im, np.float32)
+        if a.max() > 1.5:
+            a = a / 255.0
+        if a.ndim == 2:
+            a = np.stack([a] * 3, -1)
+        h8, w8 = (a.shape[0] // 8) * 8, (a.shape[1] // 8) * 8
+        rgb_list.append(a[:h8, :w8])
+    rgb = jnp.stack(rgb_list)
+    H, W = rgb.shape[1:3]
+    K_all = np.asarray(jax.vmap(cameras.K_from_bundler)(scene.cal))
+    wR = np.asarray(scene.wRi)
+    wt = np.asarray(scene.wti)
+
+    model = PatchmatchNet()
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(0),
+            rgb[0], rgb[: min(num_src_views, rgb.shape[0])],
+            jnp.asarray(K_all[0]),
+            jnp.asarray(K_all[: min(num_src_views, rgb.shape[0])]),
+            jnp.tile(jnp.eye(3), (min(num_src_views, rgb.shape[0]), 1, 1)),
+            jnp.zeros((min(num_src_views, rgb.shape[0]), 3)),
+            jnp.asarray(1.0), jnp.asarray(10.0),
+        )["params"]
+
+    @jax.jit
+    def infer(ref, srcs, Kr, Ks, sRr, str_, d_min, d_max):
+        return model.apply({"params": params}, ref, srcs, Kr, Ks, sRr, str_, d_min, d_max)
+
+    src_table = plane_sweep.select_source_views(scene, num_src_views)
+    depth_maps = np.zeros((N, H, W), np.float32)
+    conf_maps = np.zeros((N, H, W), np.float32)
+    for i in range(N):
+        if not cam_mask[i]:
+            continue
+        srcs = src_table[i][src_table[i] >= 0]
+        if srcs.size == 0:
+            continue
+        srcs = np.resize(srcs, num_src_views)
+        d_min, d_max = plane_sweep.depth_range_from_scene(scene, i)
+        sRr = np.stack([wR[s].T @ wR[i] for s in srcs]).astype(np.float32)
+        str_ = np.stack([wR[s].T @ (wt[i] - wt[s]) for s in srcs]).astype(np.float32)
+        depth, conf = infer(
+            rgb[i], rgb[jnp.asarray(srcs)], jnp.asarray(K_all[i], jnp.float32),
+            jnp.asarray(K_all[srcs], jnp.float32), jnp.asarray(sRr),
+            jnp.asarray(str_), jnp.asarray(d_min, jnp.float32),
+            jnp.asarray(d_max, jnp.float32),
+        )
+        depth_maps[i] = np.asarray(depth)
+        conf_maps[i] = np.asarray(conf)
+
+    # Fusion — identical to the plane-sweep engine (one code path for both).
+    all_pts, all_rgb = [], []
+    total_checked = 0
+    for i in range(N):
+        if not cam_mask[i]:
+            continue
+        srcs = src_table[i][src_table[i] >= 0]
+        if srcs.size == 0:
+            continue
+        count = np.asarray(
+            plane_sweep.geometric_consistency(
+                jnp.asarray(depth_maps[i]), jnp.asarray(K_all[i]),
+                jnp.asarray(wR[i]), jnp.asarray(wt[i]),
+                jnp.asarray(depth_maps[srcs]), jnp.asarray(K_all[srcs]),
+                jnp.asarray(wR[srcs]), jnp.asarray(wt[srcs]),
+            )
+        )
+        keep = (count >= plane_sweep.MIN_CONSISTENT_VIEWS) & (
+            conf_maps[i] >= plane_sweep.MIN_CONFIDENCE
+        )
+        ys, xs = np.nonzero(keep)
+        total_checked += keep.size
+        if ys.size > max_points_per_view:
+            sel = np.random.default_rng(0).choice(
+                ys.size, max_points_per_view, replace=False
+            )
+            ys, xs = ys[sel], xs[sel]
+        d = depth_maps[i][ys, xs]
+        pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float64)
+        Xc = (np.linalg.inv(K_all[i]) @ pix.T).T * d[:, None]
+        Xw = (wR[i] @ Xc.T).T + wt[i]
+        all_pts.append(Xw.astype(np.float32))
+        im8 = (rgb_list[i] * 255).astype(np.uint8)
+        all_rgb.append(im8[ys, xs])
+
+    pts = np.concatenate(all_pts) if all_pts else np.zeros((0, 3), np.float32)
+    colors = np.concatenate(all_rgb) if all_rgb else np.zeros((0, 3), np.uint8)
+    return plane_sweep.DensifyResult(
+        points=pts, rgb=colors,
+        metrics={
+            "num_dense_points": int(pts.shape[0]),
+            "fill_fraction": float(pts.shape[0] / max(total_checked, 1)),
+        },
+    )

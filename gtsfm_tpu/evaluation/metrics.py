@@ -22,6 +22,8 @@ class Metric:
     data: Any  # scalar or 1-D array-like
 
     def summary(self) -> dict:
+        if isinstance(self.data, str):
+            return {"value": self.data}
         arr = np.asarray(self.data, dtype=np.float64)
         if arr.ndim == 0:
             v = float(arr)
@@ -43,6 +45,8 @@ class Metric:
         }
 
     def to_dict(self) -> dict:
+        if isinstance(self.data, str):
+            return {self.name: self.data}
         arr = np.asarray(self.data, dtype=np.float64)
         if arr.ndim == 0:
             return {self.name: self.summary()["value"]}

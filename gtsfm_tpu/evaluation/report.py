@@ -60,6 +60,12 @@ def generate_metrics_report_html(groups: list[MetricsGroup], save_path: str) -> 
         scalar_rows = []
         dist_cards = []
         for m in g.metrics:
+            if isinstance(m.data, str):
+                scalar_rows.append(
+                    f"<tr><td style='text-align:left'>{html.escape(m.name)}</td>"
+                    f"<td>{html.escape(m.data)}</td></tr>"
+                )
+                continue
             arr = np.asarray(m.data, dtype=np.float64)
             if arr.ndim == 0:
                 scalar_rows.append(

@@ -80,3 +80,27 @@ def filter_cycle_consistent_edges(
         "edge_errors_deg": agg,
         "num_kept": int(keep.sum()),
     }
+
+
+def prune_to_largest_connected_component(
+    num_images: int,
+    edges: np.ndarray,  # (E, 2)
+    *edge_attrs: np.ndarray,  # per-edge arrays to filter alongside
+) -> tuple[np.ndarray, tuple, np.ndarray]:
+    """Keep only edges inside the largest connected component of the pair
+    graph (reference multi_view_optimizer.py:123 -> utils/graph.py:42).
+
+    A disconnected graph would give every component an arbitrary relative
+    gauge through the dense connection-Laplacian rotation averaging; the
+    reference prunes, so do we. Returns (edges, tuple(filtered attrs),
+    cc_node_mask (num_images,) bool).
+    """
+    from gtsfm_tpu import native
+
+    if edges.shape[0] == 0:
+        return edges, tuple(a[:0] for a in edge_attrs), np.zeros(num_images, bool)
+    cc_mask = native.largest_connected_component(
+        num_images, edges[:, 0], edges[:, 1]
+    )
+    in_cc = cc_mask[edges[:, 0]] & cc_mask[edges[:, 1]]
+    return edges[in_cc], tuple(a[in_cc] for a in edge_attrs), cc_mask

@@ -77,9 +77,16 @@ class RetrieverConfig:
 @dataclasses.dataclass
 class DensifyConfig:
     enabled: bool = False  # reference: --mvs_off flag gates PatchmatchNet
+    # plane_sweep (ZNCC cost volume) | patchmatchnet (learned,
+    # reference gtsfm/densify/mvs_patchmatchnet.py:55)
+    engine: str = "plane_sweep"
     num_depths: int = 64
     num_src_views: int = 4
     max_resolution: int = 400  # MVS runs on downscaled images
+    # Official patchmatchnet.ckpt (torch) for the learned engine; without one
+    # it refuses to run unless allow_random_weights (tests only).
+    patchmatchnet_checkpoint: str | None = None
+    allow_random_weights: bool = False
 
 
 @dataclasses.dataclass

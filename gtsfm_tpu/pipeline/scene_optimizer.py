@@ -465,6 +465,48 @@ class SceneOptimizer:
             return res, idx, stages
         return res, idx
 
+    def _empty_result(
+        self, loader, cals, metrics, frontend_reports, save_outputs,
+        reason: str, t0: float, sizes,
+        wRi: np.ndarray | None = None,
+        camera_mask: np.ndarray | None = None,
+    ) -> ReconstructionResult:
+        """Graceful degradation: an empty/partial stage still produces a
+        result object, metrics JSON/HTML and reports — mirrors the reference's
+        keep-running-and-report semantics (verifier_base.py:56 returning None
+        poses; bundle_adjustment.py:319-324 aborting BA but still emitting
+        metrics) instead of raising."""
+        n = len(loader)
+        if wRi is None:
+            wRi = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+        if camera_mask is None:
+            camera_mask = np.zeros(n, np.float32)
+        sc = scene_mod.make_scene(
+            wRi, np.zeros((n, 3), np.float32), cals, [], camera_mask=camera_mask
+        )
+        g = MetricsGroup("total_summary_metrics")
+        g.add("total_runtime_sec", time.time() - t0)
+        g.add("degraded_reason", reason)
+        metrics = list(metrics) + [g]
+        if save_outputs:
+            from gtsfm_tpu.evaluation import pose_metrics as _pm2
+            from gtsfm_tpu.evaluation.report import generate_metrics_report_html
+
+            out = self.config.output_root
+            os.makedirs(out, exist_ok=True)
+            save_metrics_reports(metrics, os.path.join(out, "result_metrics"))
+            for tag, reps in frontend_reports.items():
+                _pm2.save_two_view_reports(
+                    reps,
+                    os.path.join(out, "result_metrics",
+                                 f"two_view_report_{tag}.json"),
+                )
+            generate_metrics_report_html(
+                metrics,
+                os.path.join(out, "result_metrics", "gtsfm_metrics_report.html"),
+            )
+        return ReconstructionResult(scene=sc, metrics=metrics)
+
     def run(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
         if self.config.profile_dir:
             import contextlib
@@ -607,7 +649,9 @@ class SceneOptimizer:
             for tag, st in tv_stages.items()
         }
 
-        edges = np.asarray([p for k, p in enumerate(pairs) if ok[k]], np.int64)
+        edges = np.asarray(
+            [p for k, p in enumerate(pairs) if ok[k]], np.int64
+        ).reshape(-1, 2)
         i2Ri1 = np.asarray(res.i2Ri1)[ok]
         i2Ui1 = np.asarray(res.i2Ui1)[ok]
 
@@ -651,7 +695,33 @@ class SceneOptimizer:
                 logger.info("added %d prior edges to the averaging graph", len(add_e))
 
         if len(edges) == 0:
-            raise RuntimeError("view graph empty after cycle filtering")
+            # Graceful degradation (reference keeps running and emits metrics
+            # when stages produce nothing — verifier_base.py:56 semantics,
+            # BA abort at bundle_adjustment.py:319-324).
+            logger.warning("view graph empty after cycle filtering — emitting "
+                           "empty result with metrics")
+            return self._empty_result(
+                loader, cals, metrics, frontend_reports, save_outputs,
+                reason="empty_view_graph", t0=t0, sizes=sizes,
+            )
+
+        # Prune to the largest connected component before rotation averaging
+        # (reference multi_view_optimizer.py:123 -> utils/graph.py:42): with a
+        # disconnected pair graph the dense connection-Laplacian would give
+        # each component an arbitrary relative gauge and silently corrupt the
+        # reconstruction. Native C++ union-find (gtsfm_tpu/native/dsf.cpp).
+        num_edges_pre_cc = len(edges)
+        edges, (i2Ri1, i2Ui1), cc_mask = (
+            viewgraph.prune_to_largest_connected_component(n, edges, i2Ri1, i2Ui1)
+        )
+        if len(edges) < num_edges_pre_cc:
+            logger.info(
+                "largest-CC pruning: kept %d/%d cameras, %d/%d edges",
+                int(cc_mask.sum()), n, len(edges), num_edges_pre_cc,
+            )
+        metrics[-1].add("num_cameras_in_largest_cc", int(cc_mask.sum()))
+        camera_cc_mask = cc_mask.astype(np.float32)
+        kept_edge_set = {tuple(e) for e in edges.tolist()}
 
         wRi_est, ra_info = ra.run_rotation_averaging(n, edges, i2Ri1)
         g = MetricsGroup("rotation_averaging_metrics")
@@ -672,7 +742,7 @@ class SceneOptimizer:
         inlier_masks = np.asarray(res.inlier_mask)[ok]
         match_idx_ok = np.asarray(match_idx)[ok]
         for kk, (a, b) in enumerate(pair_ok):
-            if not keep[kk]:
+            if (a, b) not in kept_edge_set:
                 continue
             inl = inlier_masks[kk] > 0
             ia = np.nonzero(inl)[0]
@@ -689,7 +759,12 @@ class SceneOptimizer:
         g.add("track_lengths", np.asarray([len(t) for t in trks], np.float64))
         metrics.append(g)
         if not trks:
-            raise RuntimeError("no tracks formed")
+            logger.warning("no tracks formed — emitting empty result with metrics")
+            return self._empty_result(
+                loader, cals, metrics, frontend_reports, save_outputs,
+                reason="no_tracks", t0=t0, sizes=sizes,
+                wRi=np.asarray(wRi_est), camera_mask=camera_cc_mask,
+            )
 
         # Padded per-track arrays + camera-frame unit rays for 1dSFM.
         max_len = max(len(t) for t in trks)
@@ -730,7 +805,10 @@ class SceneOptimizer:
 
         # Triangulate with averaged poses (RANSAC over measurement pairs +
         # exit codes, reference point3d_initializer semantics).
-        sc = scene_mod.make_scene(np.asarray(wRi_est), wti_est, cals, meas_tracks)
+        sc = scene_mod.make_scene(
+            np.asarray(wRi_est), wti_est, cals, meas_tracks,
+            camera_mask=camera_cc_mask,
+        )
         T_pad = sc.num_tracks_padded
         pad_rows = T_pad - tr_cam.shape[0]
         cam_idx = np.pad(tr_cam, ((0, pad_rows), (0, 0))).astype(np.int32)
@@ -796,15 +874,16 @@ class SceneOptimizer:
 
         # GT comparison if the loader has poses.
         wRi_gt, wti_gt, gt_valid = loader.get_all_poses()
-        if gt_valid.sum() >= 3:
+        est_valid = (np.asarray(gt_valid) > 0) & (np.asarray(final.camera_mask) > 0)
+        if est_valid.sum() >= 3:
             (Rb, tb), _ = alignment.align_poses_sim3(
                 final.wRi, final.wti, jnp.asarray(wRi_gt), jnp.asarray(wti_gt),
-                valid=jnp.asarray(gt_valid),
+                valid=jnp.asarray(est_valid),
             )
             rot_errs = np.asarray(
                 alignment.rotation_errors_deg(Rb, jnp.asarray(wRi_gt))
-            )
-            tr_errs = np.linalg.norm(np.asarray(tb) - wti_gt, axis=-1)
+            )[est_valid]
+            tr_errs = np.linalg.norm(np.asarray(tb) - wti_gt, axis=-1)[est_valid]
             g = MetricsGroup("ba_pose_error_metrics")
             g.add("rotation_angle_error_deg", rot_errs)
             g.add("translation_error_distance", tr_errs)
@@ -841,11 +920,21 @@ class SceneOptimizer:
             mvs_cal = np.asarray(export_scene.cal).copy()
             mvs_cal[:, [0, 3, 4]] *= mvs_scale
             mvs_scene = dataclasses.replace(export_scene, cal=jnp.asarray(mvs_cal))
-            dense = plane_sweep.densify(
-                small_imgs, mvs_scene,
-                num_depths=cfg.densify.num_depths,
-                num_src_views=cfg.densify.num_src_views,
-            )
+            if cfg.densify.engine == "patchmatchnet":
+                from gtsfm_tpu.densify import patchmatchnet as pmn
+
+                dense = pmn.densify_patchmatchnet(
+                    small_imgs, mvs_scene,
+                    checkpoint_path=cfg.densify.patchmatchnet_checkpoint,
+                    allow_random_weights=cfg.densify.allow_random_weights,
+                    num_src_views=cfg.densify.num_src_views,
+                )
+            else:
+                dense = plane_sweep.densify(
+                    small_imgs, mvs_scene,
+                    num_depths=cfg.densify.num_depths,
+                    num_src_views=cfg.densify.num_src_views,
+                )
             g = MetricsGroup("densify_metrics")
             for k, v in dense.metrics.items():
                 g.add(k, v)
