@@ -292,7 +292,7 @@ def _robust_cost_bucketed(scene: SceneData, bucket, huber_k: float,
     return jnp.sum(rho * m)
 
 
-def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
+def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig, prior_blocks=None):
     """One damped Gauss-Newton step via Schur + PCG.
 
     Returns (dc (N,9), dp (T,3))."""
@@ -310,6 +310,8 @@ def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
     )  # (T, 3, 3)
     bc = -jax.ops.segment_sum(_matvec2(Jc, r), mc, num_segments=N)
     bp = -jax.ops.segment_sum(_matvec2(Jp, r), mt, num_segments=T)
+    if prior_blocks is not None:
+        Hcc, bc = _apply_prior_blocks_to_normal_eq(Hcc, bc, prior_blocks, N)
 
     # LM damping (multiplicative on diagonal + small absolute floor).
     Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
@@ -329,6 +331,8 @@ def _schur_solve(r, Jc, Jp, scene: SceneData, lam, cfg: BAConfig):
 
     def S_matvec(x):
         direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+        if prior_blocks is not None:
+            direct = direct + _prior_cross_matvec(prior_blocks, x)
         y = Hpc_x(x)
         z = jnp.einsum("tij,tj->ti", Hpp_inv, y)
         return direct - Hcp_y(z)
@@ -724,7 +728,8 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     return dc, dp
 
 
-def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAConfig):
+def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAConfig,
+                              prior_blocks=None):
     """Scatter-free matrix-free Schur + PCG for LARGE camera counts.
 
     The flat PCG path (_schur_solve) routes every matvec through segment-sum
@@ -761,6 +766,8 @@ def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAC
     Hcc = bar((oh_f32.T @ JJ).reshape(N, D, D))
     Jr = _matvec2(Jc, r.reshape(T * L, 2))
     bc = -(oh_f32.T @ Jr)  # (N, 9)
+    if prior_blocks is not None:
+        Hcc, bc = _apply_prior_blocks_to_normal_eq(Hcc, bc, prior_blocks, N)
     Hpp = _outer2(Jp_b, Jp_b).sum(1)
     bp = -_matvec2(Jp_b, r.reshape(T, L, 2)).sum(1)
 
@@ -789,6 +796,8 @@ def _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: BAC
         back = jnp.einsum("tlij,ti->tlj", A, y).reshape(T * L, D)
         red = (onehot2.T @ back.astype(route_dtype)).astype(x.dtype)  # (N, 9)
         direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+        if prior_blocks is not None:
+            direct = direct + _prior_cross_matvec(prior_blocks, x)
         return direct - red
 
     # rhs: v = bc - W^T Hpp_inv bp, routed back to cameras.
@@ -1222,8 +1231,40 @@ def _solve_reduced(S: jnp.ndarray, v: jnp.ndarray, cfg: BAConfig, D: int) -> jnp
     return x
 
 
+def _apply_prior_blocks_to_normal_eq(Hcc, bc, prior_blocks, N):
+    """Fold between-factor priors into the reduced camera normal equations:
+    diagonal blocks Ja^T Ja / Jb^T Jb into Hcc, gradient terms into bc.
+    The off-diagonal (a,b) coupling is handled by _prior_cross_matvec (dense
+    paths scatter it into S directly)."""
+    rp, Ja, Jb, ea, eb = prior_blocks
+    Hcc = Hcc + jax.ops.segment_sum(
+        jnp.einsum("eki,ekj->eij", Ja, Ja), ea, num_segments=N
+    )
+    Hcc = Hcc + jax.ops.segment_sum(
+        jnp.einsum("eki,ekj->eij", Jb, Jb), eb, num_segments=N
+    )
+    bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Ja, rp), ea, num_segments=N)
+    bc = bc - jax.ops.segment_sum(jnp.einsum("eki,ek->ei", Jb, rp), eb, num_segments=N)
+    return Hcc, bc
+
+
+def _prior_cross_matvec(prior_blocks, x):
+    """Off-diagonal between-factor coupling applied matrix-free:
+    y[a] += (Ja^T Jb) x[b], y[b] += (Ja^T Jb)^T x[a] — the matrix-free
+    equivalent of the dense path's S4.at[ea,:,eb,:].add(cross). Between
+    factors couple only (a, b) camera PAIRS, so the window-block banded PCG
+    absorbs them as this cheap per-edge correction term regardless of whether
+    the edge crosses a window boundary (reference rig_bundle_adjustment.py:25
+    between-factor semantics at any scale)."""
+    rp, Ja, Jb, ea, eb = prior_blocks
+    cross = jnp.einsum("eki,ekj->eij", Ja, Jb)  # (Ep, D, D)
+    ya = jnp.einsum("eij,ej->ei", cross, x[eb])
+    yb = jnp.einsum("eji,ej->ei", cross, x[ea])
+    return jnp.zeros_like(x).at[ea].add(ya).at[eb].add(yb)
+
+
 def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
-                            lam, cfg: BAConfig):
+                            lam, cfg: BAConfig, prior_blocks=None):
     """Camera-banded Schur + PCG for LARGE camera counts.
 
     Same window-local assembly as _schur_solve_dense_banded (Hcc/bc GEMM
@@ -1261,6 +1302,8 @@ def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     acc = acc.reshape((B_ + 1) * C_, D * D + D)[:N]
     Hcc = bar(acc[:, : D * D].reshape(N, D, D))
     bc = -acc[:, D * D :]
+    if prior_blocks is not None:
+        Hcc, bc = _apply_prior_blocks_to_normal_eq(Hcc, bc, prior_blocks, N)
 
     Hpp = _outer2(Jp_b, Jp_b).sum(1)
     bp = -_matvec2(Jp_b, r.reshape(T2, L, 2)).sum(1)
@@ -1308,6 +1351,8 @@ def _schur_solve_pcg_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
         yw = jnp.einsum("wij,wj->wi", S_win, xw)
         red = _win_overlap_add(yw, B_, CD)[: N * D].reshape(N, D)
         direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+        if prior_blocks is not None:
+            direct = direct + _prior_cross_matvec(prior_blocks, x)
         return direct - red
 
     hb = jnp.einsum("tij,tj->ti", Hpp_inv, bp)
@@ -1494,8 +1539,6 @@ def lm_optimize(
     """
     use_band = cfg.band is not None
     band_dense = use_band and scene.num_cameras_padded <= _DENSE_SCHUR_MAX_CAMERAS
-    if priors is not None and not (band_dense or _use_dense_schur(scene)):
-        raise NotImplementedError("relative-pose priors require the dense Schur path")
     if use_band and (band_plan is None or cfg.bucket_l is None):
         raise ValueError("cfg.band requires band_plan and bucket_l")
     N = scene.num_cameras_padded
@@ -1562,18 +1605,20 @@ def lm_optimize(
     def body(carry):
         scene, blocks, lam, cost, it, _ = carry
         r, Jc, Jp = blocks
+        pb = None
+        if priors is not None:
+            rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
+            # Between factors never touch calibration — their trailing
+            # columns are identically zero; match the block width.
+            Dk = _cam_dim(cfg)
+            pb = (rp, Ja[..., :Dk], Jb[..., :Dk],
+                  priors.edges_a, priors.edges_b)
         if use_band and not band_dense:
-            # Large-N banded scene: window-local matrix-free PCG.
-            dc, dp = _schur_solve_pcg_banded(r, Jc, Jp, bucket, scene, lam, cfg)
+            # Large-N banded scene: window-local matrix-free PCG. Priors join
+            # as per-edge correction terms in the matvec (the between-factor
+            # (a,b) coupling need not respect window boundaries).
+            dc, dp = _schur_solve_pcg_banded(r, Jc, Jp, bucket, scene, lam, cfg, pb)
         elif use_dense:
-            pb = None
-            if priors is not None:
-                rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
-                # Between factors never touch calibration — their trailing
-                # columns are identically zero; match the block width.
-                Dk = _cam_dim(cfg)
-                pb = (rp, Ja[..., :Dk], Jb[..., :Dk],
-                      priors.edges_a, priors.edges_b)
             if use_band:
                 dc, dp = _schur_solve_dense_banded(r, Jc, Jp, bucket, scene, lam, cfg, pb)
             elif bucket is not None:
@@ -1582,9 +1627,9 @@ def lm_optimize(
                 dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
         elif bucket is not None:
             # Large camera count: scatter-free bucketed matrix-free PCG.
-            dc, dp = _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene, lam, cfg)
+            dc, dp = _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene, lam, cfg, pb)
         else:
-            dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg)
+            dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg, pb)
         cand = _update_scene(scene, dc, dp)
         if cfg.share_calibration:
             cand = _shared_calibration_step(cand, cfg)

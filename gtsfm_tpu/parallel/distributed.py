@@ -69,12 +69,25 @@ def pair_sharded_verify(
     return run(keys, x1, x2, mask, thr)
 
 
+def _make_prior_blocks(scene: SceneData, priors, cfg: ba.BAConfig):
+    """Sliced between-factor blocks (replicated; reference _between_factors).
+    Returns (rp, Ja, Jb, ea, eb) with Jacobians cut to the live camera width."""
+    N = scene.num_cameras_padded
+    first_live = jnp.argmax(scene.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
+    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+    rp, Ja, Jb = ba._prior_blocks(scene, priors, cam_free)
+    Dk = ba._cam_dim(cfg)
+    return (rp, Ja[..., :Dk], Jb[..., :Dk], priors.edges_a, priors.edges_b)
+
+
 def distributed_ba_gn_step_tracksharded(
     mesh: Mesh,
     scene: SceneData,
     bucket_l: int,
     lam: float = 1e-4,
     cfg: ba.BAConfig = ba.BAConfig(),
+    priors: "ba.RelativePosePriors | None" = None,
 ) -> SceneData:
     """One damped GN step with TRACKS sharded across the mesh and the
     scatter-free bucketed Schur assembly per shard.
@@ -111,14 +124,16 @@ def distributed_ba_gn_step_tracksharded(
     bucket = ba._make_bucket(sc_sorted, bucket_l)
 
     bucket_spec = ba._Bucket(cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot=P(axis))
+    pb = _make_prior_blocks(sc_sorted, priors, cfg) if priors is not None else None
+    pb_spec = None if pb is None else tuple(P() for _ in pb)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(bucket_spec, P(axis), P(axis), P()),
+        in_specs=(bucket_spec, P(axis), P(axis), P(), pb_spec),
         out_specs=(P(), P(axis)),
     )
-    def step(bkt, pts, tmask, lam_arr):
+    def step(bkt, pts, tmask, lam_arr, pb_rep):
         Tl, L = bkt.bmask.shape
         r, Jc, Jp, _ = ba._build_blocks_bucketed(
             sc_sorted, bkt, cfg, cam_free, points=pts, track_mask=tmask
@@ -151,9 +166,20 @@ def distributed_ba_gn_step_tracksharded(
         # THE one collective of the step.
         Hcc, S_red, v = jax.lax.psum((Hcc_l, S_red_l, v_l), axis)
 
+        if pb_rep is not None:
+            # Between-factor priors: replicated fold into the reduced system
+            # (diagonal blocks + gradient), cross blocks added to dense S.
+            Hcc, v = (lambda hb: (hb[0], hb[1].reshape(-1)))(
+                ba._apply_prior_blocks_to_normal_eq(Hcc, v.reshape(N, D), pb_rep, N)
+            )
         Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
         idx = jnp.arange(N)
         S = jnp.zeros((N, D, N, D), r.dtype).at[idx, :, idx, :].set(Hcc_d)
+        if pb_rep is not None:
+            rp_, Ja_, Jb_, ea_, eb_ = pb_rep
+            cross = jnp.einsum("eki,ekj->eij", Ja_, Jb_)
+            S = S.at[ea_, :, eb_, :].add(cross)
+            S = S.at[eb_, :, ea_, :].add(jnp.swapaxes(cross, -1, -2))
         S = S.reshape(N * D, N * D) - S_red
         S = S + jnp.diag((jnp.diagonal(S) <= 1e-7).astype(S.dtype))
         Lf = jax.scipy.linalg.cho_factor(S, lower=True)
@@ -167,7 +193,7 @@ def distributed_ba_gn_step_tracksharded(
 
     dc, dp = step(
         bucket, sc_sorted.points, sc_sorted.track_mask,
-        jnp.asarray([lam], scene.meas_uv.dtype),
+        jnp.asarray([lam], scene.meas_uv.dtype), pb,
     )
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
@@ -185,6 +211,7 @@ def distributed_ba_gn_step_banded(
     band_plan: "ba.BandPlan",
     lam: float = 1e-4,
     cfg: ba.BAConfig = ba.BAConfig(),
+    priors: "ba.RelativePosePriors | None" = None,
 ) -> SceneData:
     """One damped GN step with camera-BANDED row-sharded Schur reduction —
     the production multi-chip layout for LARGE sequential scenes.
@@ -255,14 +282,16 @@ def distributed_ba_gn_step_banded(
         cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot_loc=P(axis),
         track_window=P(axis), block_window=P(axis),
     )
+    pb = _make_prior_blocks(sc2, priors, cfg) if priors is not None else None
+    pb_spec = None if pb is None else tuple(P() for _ in pb)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(bucket_spec, P(axis), P(axis), P()),
+        in_specs=(bucket_spec, P(axis), P(axis), P(), pb_spec),
         out_specs=(P(), P(axis)),
     )
-    def step(bkt, pts, tmask, lam_arr):
+    def step(bkt, pts, tmask, lam_arr, pb_rep):
         T2l, L = bkt.bmask.shape
         Kl = bkt.block_window.shape[0]
         D = ba._cam_dim(cfg)
@@ -331,6 +360,10 @@ def distributed_ba_gn_step_banded(
         ).reshape((B_ + 1) * C_, D * D + D)[:N]
         Hcc = acc[:, : D * D].reshape(N, D, D)
         bc = -acc[:, D * D:]
+        if pb_rep is not None:
+            # Replicated between-factor fold (diag + gradient); the (a,b)
+            # cross coupling joins the matvec below.
+            Hcc, bc = ba._apply_prior_blocks_to_normal_eq(Hcc, bc, pb_rep, N)
         Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(D)
         v_rhs = bc - ba._win_overlap_add(y_win, B_, CD)[: N * D].reshape(N, D)
 
@@ -343,7 +376,10 @@ def distributed_ba_gn_step_banded(
             xw = window_slices(x.reshape(-1))
             yw = jnp.einsum("wij,wj->wi", S_win, xw)
             red = ba._win_overlap_add(yw, B_, CD)[: N * D].reshape(N, D)
-            return jnp.einsum("nij,nj->ni", Hcc_d, x) - red
+            direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+            if pb_rep is not None:
+                direct = direct + ba._prior_cross_matvec(pb_rep, x)
+            return direct - red
 
         Minv = jnp.linalg.inv(Hcc_d)
 
@@ -381,7 +417,7 @@ def distributed_ba_gn_step_banded(
         return dc, dp_l
 
     dc, dp = step(
-        bucket, pts_all, tmask_all, jnp.asarray([lam], scene.meas_uv.dtype)
+        bucket, pts_all, tmask_all, jnp.asarray([lam], scene.meas_uv.dtype), pb
     )
     dp = dp[:T2]
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
@@ -406,6 +442,7 @@ def distributed_lm_optimize(
     scene: SceneData,
     cfg: ba.BAConfig = ba.BAConfig(),
     band_plan: "ba.BandPlan | None" = None,
+    priors: "ba.RelativePosePriors | None" = None,
 ) -> tuple[SceneData, dict]:
     """Full distributed LM loop with host-side damping/acceptance — the
     distributed analog of bundle/ba.lm_optimize for problems exceeding one
@@ -419,22 +456,30 @@ def distributed_lm_optimize(
     Returns (optimized scene, stats dict).
     """
     lam = cfg.lambda_init
-    cost = float(ba.robust_cost(scene, cfg.huber_k, cfg.robust))
+
+    def total_cost(s):
+        c = float(ba.robust_cost(s, cfg.huber_k, cfg.robust))
+        if priors is not None:
+            c += float(ba.prior_cost(s, priors))
+        return c
+
+    cost = total_cost(scene)
     cost0 = cost
     accepted = 0
     for it in range(cfg.max_iterations):
         if cfg.band is not None:
             assert band_plan is not None, "cfg.band requires band_plan"
             cand = distributed_ba_gn_step_banded(
-                mesh, scene, cfg.bucket_l, cfg.band, band_plan, lam=lam, cfg=cfg
+                mesh, scene, cfg.bucket_l, cfg.band, band_plan, lam=lam, cfg=cfg,
+                priors=priors,
             )
         elif cfg.bucket_l is not None:
             cand = distributed_ba_gn_step_tracksharded(
-                mesh, scene, cfg.bucket_l, lam=lam, cfg=cfg
+                mesh, scene, cfg.bucket_l, lam=lam, cfg=cfg, priors=priors
             )
         else:
-            cand = distributed_ba_gn_step(mesh, scene, lam=lam, cfg=cfg)
-        new_cost = float(ba.robust_cost(cand, cfg.huber_k, cfg.robust))
+            cand = distributed_ba_gn_step(mesh, scene, lam=lam, cfg=cfg, priors=priors)
+        new_cost = total_cost(cand)
         if new_cost < cost:
             scene = cand
             rel = (cost - new_cost) / max(cost, 1e-12)
@@ -454,7 +499,8 @@ def distributed_lm_optimize(
 
 
 def distributed_ba_gn_step(
-    mesh: Mesh, scene: SceneData, lam: float = 1e-4, cfg: ba.BAConfig = ba.BAConfig()
+    mesh: Mesh, scene: SceneData, lam: float = 1e-4, cfg: ba.BAConfig = ba.BAConfig(),
+    priors: "ba.RelativePosePriors | None" = None,
 ) -> SceneData:
     """One damped Gauss-Newton BA step with measurement-sharded Jacobians.
 
@@ -479,13 +525,16 @@ def distributed_ba_gn_step(
         meas_cam=P(axis), meas_track=P(axis), meas_uv=P(axis), meas_mask=P(axis),
     )
 
+    pb = _make_prior_blocks(scene, priors, cfg) if priors is not None else None
+    pb_spec = None if pb is None else tuple(P() for _ in pb)
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(meas_spec, P()),
+        in_specs=(meas_spec, P(), pb_spec),
         out_specs=(P(), P()),
     )
-    def step(scene_shard: SceneData, lam_arr):
+    def step(scene_shard: SceneData, lam_arr, pb_rep):
         # Local Jacobian blocks on this device's measurement shard.
         r, Jc, Jp, _ = ba._build_blocks(scene_shard, cfg, cam_free)
         mc = scene_shard.meas_cam
@@ -508,6 +557,8 @@ def distributed_ba_gn_step(
             jax.ops.segment_sum(ba._matvec2(Jp, r), mt, num_segments=T),
             axis,
         )
+        if pb_rep is not None:
+            Hcc, bc = ba._apply_prior_blocks_to_normal_eq(Hcc, bc, pb_rep, N)
 
         lam_v = lam_arr[0]
         Hcc_d = Hcc + (lam_v * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(Jc.shape[-1])
@@ -532,6 +583,8 @@ def distributed_ba_gn_step(
 
         def S_matvec(x):
             direct = jnp.einsum("nij,nj->ni", Hcc_d, x)
+            if pb_rep is not None:
+                direct = direct + ba._prior_cross_matvec(pb_rep, x)
             z = jnp.einsum("tij,tj->ti", Hpp_inv, Hpc_x(x))
             return direct - Hcp_y(z)
 
@@ -563,7 +616,7 @@ def distributed_ba_gn_step(
         dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_x(dc))
         return dc, dp
 
-    dc, dp = step(scene, jnp.asarray([lam], scene.meas_uv.dtype))
+    dc, dp = step(scene, jnp.asarray([lam], scene.meas_uv.dtype), pb)
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
     R, t, cal = ba._apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)

@@ -170,3 +170,36 @@ def test_banded_distributed_lm_matches_single_device(rng):
     errs, _ = sc_dist.reprojection_errors()
     m = np.asarray(sc_dist.meas_mask) > 0
     assert float(np.asarray(errs)[m].mean()) < 1.0
+
+
+def test_distributed_priors_banded(rng):
+    """Between-factor priors through the DISTRIBUTED banded row-sharded step:
+    replicated fold into the reduced solve; relative poses honored."""
+    from tests.bundle.test_ba import make_banded_problem
+    from tests.bundle.test_ba_priors import _sequential_priors
+
+    mesh = distributed.make_mesh()
+    sc_gt = make_banded_problem(rng, n_cams=96, n_tracks=480)
+    wRi, wti = np.asarray(sc_gt.wRi), np.asarray(sc_gt.wti)
+    sc0 = perturb(rng, sc_gt, rot_deg=1.0, trans=0.05, pt=0.05)
+    edges, priors = _sequential_priors(wRi, wti, 96, weight=50.0, stride=7)
+
+    band, plan = ba.auto_band(sc0, tb=16)
+    assert band is not None
+    cfg = ba.BAConfig(
+        max_iterations=12, bucket_l=ba.auto_bucket_l(sc0), band=band,
+        schur_bf16=False, pcg_iterations=80, pcg_tol=1e-8,
+    )
+    sc_dist, stats = distributed.distributed_lm_optimize(
+        mesh, sc0, cfg, band_plan=plan, priors=priors
+    )
+    res_single = ba.lm_optimize(sc0, cfg, priors=priors, band_plan=plan)
+    assert stats["final_cost"] == pytest.approx(
+        float(res_single.final_cost), rel=5e-2
+    )
+    Rf, tf = np.asarray(sc_dist.wRi), np.asarray(sc_dist.wti)
+    for k, (a, b) in enumerate(edges):
+        aRb_f = Rf[a].T @ Rf[b]
+        err = float(jnp.degrees(lie.rotation_angular_distance(
+            jnp.asarray(aRb_f), priors.aRb[k])))
+        assert err < 0.3
