@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gtsfm_tpu.bundle import ba
 from gtsfm_tpu.common.scene import SceneData
 from gtsfm_tpu.ops import ransac
+from gtsfm_tpu.parallel import multihost
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
@@ -66,7 +67,12 @@ def pair_sharded_verify(
         )
 
     thr = jnp.broadcast_to(jnp.asarray(threshold, x1.dtype), (P_total,))
-    return run(keys, x1, x2, mask, thr)
+    in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
+    args = multihost.shard_inputs(mesh, in_specs, (keys, x1, x2, mask, thr))
+    out = run(*args)
+    return multihost.gather_outputs(
+        mesh, jax.tree_util.tree_map(lambda _: P(axis), out), out
+    )
 
 
 def _make_prior_blocks(scene: SceneData, priors, cfg: ba.BAConfig):
@@ -191,10 +197,13 @@ def distributed_ba_gn_step_tracksharded(
         )
         return dc, dp_l
 
-    dc, dp = step(
-        bucket, sc_sorted.points, sc_sorted.track_mask,
-        jnp.asarray([lam], scene.meas_uv.dtype), pb,
+    in_specs = (bucket_spec, P(axis), P(axis), P(), pb_spec)
+    args = multihost.shard_inputs(
+        mesh, in_specs,
+        (bucket, sc_sorted.points, sc_sorted.track_mask,
+         jnp.asarray([lam], scene.meas_uv.dtype), pb),
     )
+    dc, dp = multihost.gather_outputs(mesh, (P(), P(axis)), step(*args))
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
     R, t, cal = ba._apply_camera_delta(sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, dc)
@@ -416,9 +425,12 @@ def distributed_ba_gn_step_banded(
         dp_l = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
         return dc, dp_l
 
-    dc, dp = step(
-        bucket, pts_all, tmask_all, jnp.asarray([lam], scene.meas_uv.dtype), pb
+    in_specs = (bucket_spec, P(axis), P(axis), P(), pb_spec)
+    args = multihost.shard_inputs(
+        mesh, in_specs,
+        (bucket, pts_all, tmask_all, jnp.asarray([lam], scene.meas_uv.dtype), pb),
     )
+    dc, dp = multihost.gather_outputs(mesh, (P(), P(axis)), step(*args))
     dp = dp[:T2]
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
@@ -616,10 +628,71 @@ def distributed_ba_gn_step(
         dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_x(dc))
         return dc, dp
 
-    dc, dp = step(scene, jnp.asarray([lam], scene.meas_uv.dtype), pb)
+    in_specs = (meas_spec, P(), pb_spec)
+    args = multihost.shard_inputs(
+        mesh, in_specs, (scene, jnp.asarray([lam], scene.meas_uv.dtype), pb)
+    )
+    dc, dp = multihost.gather_outputs(mesh, (P(), P()), step(*args))
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
     R, t, cal = ba._apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
     import dataclasses
 
     return dataclasses.replace(scene, wRi=R, wti=t, cal=cal, points=scene.points + dp)
+
+
+def run_ba_with_filtering_distributed(
+    mesh: Mesh,
+    scene: SceneData,
+    reproj_thresholds_px: tuple = (10.0, 5.0, 3.0),
+    cfg: ba.BAConfig = ba.BAConfig(),
+    priors: "ba.RelativePosePriors | None" = None,
+) -> tuple[SceneData, list[dict]]:
+    """Multi-stage distributed BA: optimize on the mesh, filter landmarks,
+    repeat — the distributed analog of bundle/ba.run_ba_with_filtering
+    (reference bundle_adjustment.py:292-357 semantics), so the WHOLE back-end
+    runs on the cluster like the reference's Dask-delayed BA
+    (gtsfm_runner_base.py:379-396), not just the two-view front-end.
+
+    Per stage the banded row-sharded layout is auto-detected (sequential
+    scenes); otherwise the track-sharded bucketed layout is used. Padding to
+    the mesh size is guaranteed by SceneData's 256-granular buckets for any
+    mesh up to 256 devices.
+    """
+    import dataclasses as _dc
+
+    n_dev = mesh.devices.size
+    stats = []
+    for k, thresh in enumerate(reproj_thresholds_px):
+        stage_cfg = cfg
+        if k == len(reproj_thresholds_px) - 1 and cfg.schur_bf16:
+            stage_cfg = cfg._replace(schur_bf16=False)
+        band_plan = None
+        if stage_cfg.bucket_l is not None and stage_cfg.band is None:
+            statics, band_plan = ba.auto_band(scene)
+            if statics is not None:
+                # Whole Tb-row blocks shard across the mesh; the step pads the
+                # block axis to the mesh size internally.
+                stage_cfg = stage_cfg._replace(band=statics)
+        if stage_cfg.band is None and scene.num_tracks_padded % n_dev != 0:
+            # Track-sharded layout needs T % n_dev == 0; grow the track pad.
+            T_new = ((scene.num_tracks_padded + n_dev - 1) // n_dev) * n_dev
+            pad = T_new - scene.num_tracks_padded
+            scene = _dc.replace(
+                scene,
+                points=jnp.pad(scene.points, ((0, pad), (0, 0))),
+                track_mask=jnp.pad(scene.track_mask, (0, pad)),
+            )
+        scene, st = distributed_lm_optimize(
+            mesh, scene, stage_cfg, band_plan=band_plan, priors=priors
+        )
+        scene = scene.filter_landmarks(thresh)
+        st = dict(st)
+        st.update(
+            threshold=float(thresh),
+            tracks=scene.num_tracks(),
+            measurements=scene.num_measurements(),
+            devices=int(n_dev),
+        )
+        stats.append(st)
+    return scene, stats

@@ -57,6 +57,10 @@ class MultiViewConfig:
     ba_reproj_thresholds_px: tuple = (10.0, 5.0, 3.0)  # reference :91
     ba_max_iterations: int = 20
     optimize_calibration: bool = False
+    # Global BA placement: "auto" shards over the device mesh whenever more
+    # than one device is visible (the reference always runs the back-end on
+    # the cluster, gtsfm_runner_base.py:379-396); "on"/"off" force it.
+    distributed_ba: str = "auto"
 
 
 @dataclasses.dataclass

@@ -518,6 +518,10 @@ class SceneOptimizer:
 
     def _run_impl(self, loader: LoaderBase, save_outputs: bool = True) -> ReconstructionResult:
         cfg = self.config
+        if jax.process_count() > 1:
+            # Multi-controller SPMD: every host computes the identical
+            # pipeline; only process 0 writes artifacts (CLUSTER.md).
+            save_outputs = save_outputs and jax.process_index() == 0
         t0 = time.time()
         metrics: list[MetricsGroup] = []
         n = len(loader)
@@ -855,9 +859,25 @@ class SceneOptimizer:
                     weight=jnp.asarray(wgt),
                 )
                 logger.info("BA with %d relative-pose priors", len(ea))
-        final, ba_stats = ba.run_ba_with_filtering(
-            sc, cfg.multi_view.ba_reproj_thresholds_px, ba_cfg, priors=ba_priors
+        n_dev_ba = jax.device_count()
+        use_dist_ba = cfg.multi_view.distributed_ba == "on" or (
+            cfg.multi_view.distributed_ba == "auto" and n_dev_ba > 1
         )
+        if use_dist_ba:
+            # Whole back-end on the mesh (the reference runs BA on the Dask
+            # cluster, gtsfm_runner_base.py:379-396; here the Schur reduction
+            # psums over ICI) — same multi-stage filtering semantics.
+            from gtsfm_tpu.parallel import distributed, make_mesh
+
+            final, ba_stats = distributed.run_ba_with_filtering_distributed(
+                make_mesh(), sc, cfg.multi_view.ba_reproj_thresholds_px,
+                ba_cfg, priors=ba_priors,
+            )
+            logger.info("global BA distributed over %d devices", n_dev_ba)
+        else:
+            final, ba_stats = ba.run_ba_with_filtering(
+                sc, cfg.multi_view.ba_reproj_thresholds_px, ba_cfg, priors=ba_priors
+            )
         t_ba = time.time()
         err, _ = final.reprojection_errors()
         live = np.asarray(final.meas_mask) > 0

@@ -34,6 +34,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--override", action="append", default=[],
         help="config override a.b=c (repeatable)",
     )
+    # Multi-host (multi-controller SPMD) launch — the reference's SSHCluster
+    # flags (gtsfm_runner_base.py:244-273) become jax.distributed wiring; see
+    # CLUSTER.md. On TPU pod slices --multihost alone auto-detects everything.
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize before any device use "
+        "(auto-detected coordinator on TPU pods)",
+    )
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (non-TPU clusters)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -55,6 +67,14 @@ def resolve_config_path(name_or_path: str) -> str:
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     args = build_parser().parse_args(argv)
+
+    if args.multihost or args.coordinator_address is not None:
+        # Must precede every jax backend touch (PipelineConfig is safe).
+        from gtsfm_tpu.parallel import multihost
+
+        multihost.initialize(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
 
     from gtsfm_tpu.pipeline.config import PipelineConfig
     from gtsfm_tpu.pipeline.scene_optimizer import SceneOptimizer
