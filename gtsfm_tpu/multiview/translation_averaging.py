@@ -37,12 +37,80 @@ NOISE_SIGMA = 0.01  # reference averaging_1dsfm.py:46 (TranslationRecovery)
 HUBER_K = 1.345
 
 
+
+def sample_projection_directions(
+    measurements: np.ndarray,  # (M, 3) unit directions
+    num_samples: int,
+    method: str = "uniform",
+    seed: int = 0,
+) -> np.ndarray:
+    """Projection directions for the 1dSFM MFAS sweeps (reference
+    TranslationAveraging1DSFM.__sample_projection_directions,
+    averaging_1dsfm.py:105-130 + utils/sampling.py):
+
+      uniform       isotropic Gaussian normalized to the sphere (the
+                    reference's default SAMPLE_WITH_UNIFORM_DENSITY)
+      measurements  directions drawn from the measurement set itself
+                    (SAMPLE_INPUT_MEASUREMENTS)
+      kde           Gaussian KDE fit to the measurements in spherical
+                    coordinates, sampled (SAMPLE_WITH_INPUT_DENSITY)
+      mixed         half uniform + half measurements: covers both the global
+                    axes and the directions where the data actually lives
+    """
+    rng = np.random.default_rng(seed)
+    m = np.asarray(measurements, np.float64)
+
+    def uniform(k):
+        d = rng.normal(size=(k, 3))
+        return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    def from_measurements(k):
+        if m.shape[0] == 0:
+            return uniform(k)
+        k_eff = min(k, m.shape[0])
+        idx = rng.choice(m.shape[0], k_eff, replace=False)
+        out = m[idx]
+        if k_eff < k:
+            out = np.concatenate([out, uniform(k - k_eff)])
+        return out
+
+    if method == "uniform":
+        dirs = uniform(num_samples)
+    elif method == "measurements":
+        dirs = from_measurements(num_samples)
+    elif method == "kde":
+        if m.shape[0] < 4:
+            dirs = uniform(num_samples)
+        else:
+            from scipy import stats
+
+            sub = m[rng.choice(m.shape[0], min(m.shape[0], 2000), replace=False)]
+            theta = np.arccos(np.clip(sub[:, 2], -1.0, 1.0))
+            phi = np.arctan2(sub[:, 1], sub[:, 0])
+            try:
+                kde = stats.gaussian_kde(np.stack([theta, phi]))
+                th, ph = kde.resample(num_samples, seed=rng)
+                dirs = np.stack(
+                    [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)], -1
+                )
+            except np.linalg.LinAlgError:  # degenerate (collinear) set
+                dirs = uniform(num_samples)
+    elif method == "mixed":
+        half = num_samples // 2
+        dirs = np.concatenate([uniform(num_samples - half), from_measurements(half)])
+    else:
+        raise ValueError(f"unknown projection sampling method {method}")
+    dirs = np.asarray(dirs, np.float32)
+    return dirs / np.maximum(np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+
+
 def mfas_outlier_weights(
     edges: np.ndarray,  # (E, 2)
     w_directions: np.ndarray,  # (E, 3) world-frame unit directions a->b? see below
     num_nodes: int,
     num_projections: int = 512,
     seed: int = 0,
+    sampling_method: str = "uniform",
 ) -> np.ndarray:
     """Mean relative outlier weight per edge over sampled projections.
 
@@ -52,9 +120,9 @@ def mfas_outlier_weights(
     """
     E = edges.shape[0]
     n = int(num_nodes)
-    rng = np.random.default_rng(seed)
-    dirs = rng.normal(size=(num_projections, 3)).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = sample_projection_directions(
+        w_directions, num_projections, method=sampling_method, seed=seed
+    )
 
     edges_a = jnp.asarray(edges[:, 1], jnp.int32)  # node i2 ("from")
     edges_b = jnp.asarray(edges[:, 0], jnp.int32)  # node i1 ("to")
@@ -335,6 +403,7 @@ def run_translation_averaging(
     wRi: np.ndarray,  # (n, 3, 3) global rotations
     num_projections: int = 512,
     seed: int = 0,
+    sampling_method: str = "uniform",
     track_cam_idx: np.ndarray | None = None,  # (T, L) optional track cams
     track_rays: np.ndarray | None = None,  # (T, L, 3) unit rays in CAMERA frame
     track_mask: np.ndarray | None = None,  # (T, L)
@@ -359,7 +428,9 @@ def run_translation_averaging(
     # in world frame (t_{i1} - t_{i2} direction).
     w_dirs = np.einsum("eij,ej->ei", np.asarray(wRi)[edges[:, 1]], np.asarray(i2Ui1))
 
-    outlier_w = mfas_outlier_weights(edges, w_dirs, n, num_projections, seed)
+    outlier_w = mfas_outlier_weights(
+        edges, w_dirs, n, num_projections, seed, sampling_method=sampling_method
+    )
     inliers = outlier_w < OUTLIER_WEIGHT_THRESHOLD
 
     # Nodes touched by inlier edges.

@@ -46,12 +46,20 @@ class TwoViewConfig:
     # reference's gric_verifier (frontend/verifier/gric_verifier.py:19).
     degeneracy_check: bool = False
     gric_sigma_px: float = 1.0
+    # Pairs per batched two-view program: bounds HBM at any scene scale
+    # (chunks stream through ONE compiled shape; last chunk repeat-padded).
+    chunk_size: int = 512
 
 
 @dataclasses.dataclass
 class MultiViewConfig:
     cycle_error_threshold_deg: float = 7.0  # reference cycle_consistent:26
     num_mfas_projections: int = 512
+    # uniform | measurements | kde | mixed (reference ProjectionSamplingMethod,
+    # averaging_1dsfm.py:105-130). Default set by experiment
+    # (scripts/mfas_sampling_experiment.py, PERF.md): mixed-512 matches
+    # 2000-direction configs within ~1% F1 at a quarter of the sweeps.
+    mfas_sampling_method: str = "mixed"
     min_track_len: int = 3
     triangulation_reproj_thresh_px: float = 10.0  # reference deep_front_end.yaml:84
     ba_reproj_thresholds_px: tuple = (10.0, 5.0, 3.0)  # reference :91

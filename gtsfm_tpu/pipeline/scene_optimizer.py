@@ -348,13 +348,67 @@ class SceneOptimizer:
 
     def run_two_view(self, feats, cals, pairs, precomputed=None,
                      return_stages: bool = False):
-        """Batched matching + batched RANSAC for all pairs at once.
+        """Batched matching + batched RANSAC over all pairs.
+
+        Large pair lists are processed in fixed-size chunks
+        (two_view.chunk_size) so HBM stays bounded at any scene scale while
+        each chunk is still one big batched program (the reference streams
+        per-pair Dask futures, two_view_estimator.py:569-584; here the unit
+        of work is a chunk of pairs, not one pair). The last chunk is padded
+        by repeating pairs, so exactly one program shape compiles.
 
         precomputed: optional (x1, x2, cm, idx) from the image-correspondence
         path (LoFTR), bypassing descriptor matching.
         return_stages: also return {tag: TwoViewResult} snapshots at the
         reference's report points (PRE_BA / POST_BA / POST_ISP,
         two_view_estimator.py:38-41)."""
+        chunk = int(self.config.two_view.chunk_size)
+        P_all = len(pairs)
+        if P_all <= chunk:
+            return self._run_two_view_chunk(
+                feats, cals, pairs, precomputed, return_stages
+            )
+
+        results, idxs, stage_accum = [], [], {}
+        for s in range(0, P_all, chunk):
+            sub = list(pairs[s : s + chunk])
+            n_real = len(sub)
+            while len(sub) < chunk:  # repeat-pad: one compiled shape
+                sub.append(sub[-1])
+            pre_sub = None
+            if precomputed is not None:
+                x1, x2, cm, idx = precomputed
+                pad = chunk - n_real
+                sl = lambda t: jnp.concatenate(
+                    [t[s : s + n_real]]
+                    + ([jnp.repeat(t[s + n_real - 1 : s + n_real], pad, 0)] if pad else []),
+                )
+                pre_sub = (sl(x1), sl(x2), sl(cm),
+                           None if idx is None else sl(idx))
+            out = self._run_two_view_chunk(feats, cals, sub, pre_sub, return_stages)
+            res_c, idx_c = out[0], out[1]
+            trim = lambda t: t[:n_real]
+            results.append(jax.tree_util.tree_map(trim, res_c))
+            idxs.append(idx_c[:n_real] if idx_c is not None else None)
+            if return_stages:
+                for tag, st in out[2].items():
+                    stage_accum.setdefault(tag, []).append(
+                        jax.tree_util.tree_map(trim, st)
+                    )
+            logger.info("two-view chunk %d-%d / %d done", s, s + n_real, P_all)
+
+        cat = lambda parts: jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *parts
+        )
+        res = cat(results)
+        match_idx = None if idxs[0] is None else jnp.concatenate(idxs)
+        if return_stages:
+            stages = {tag: cat(parts) for tag, parts in stage_accum.items()}
+            return res, match_idx, stages
+        return res, match_idx
+
+    def _run_two_view_chunk(self, feats, cals, pairs, precomputed=None,
+                            return_stages: bool = False):
         fe = self.config.frontend
         tv = self.config.two_view
         if precomputed is not None:
@@ -790,6 +844,7 @@ class SceneOptimizer:
 
         ta_kwargs = dict(
             num_projections=cfg.multi_view.num_mfas_projections, seed=cfg.seed,
+            sampling_method=cfg.multi_view.mfas_sampling_method,
             track_cam_idx=tr_cam, track_rays=rays, track_mask=tr_mask,
         )
         if hasattr(loader, "rig_from_image") and hasattr(loader, "get_relative_pose_priors"):

@@ -171,3 +171,25 @@ def test_rig_translation_averaging():
     aligned = float(s) * res.wti @ np.asarray(Rm).T + np.asarray(tr)
     assert np.abs(aligned - wti).max() < 0.05
     assert abs(float(s) - 1.0) < 0.1, f"metric scale lost: s={float(s)}"
+
+
+def test_projection_sampling_methods(rng):
+    """All four sampling schemes (reference ProjectionSamplingMethod,
+    averaging_1dsfm.py:105-130) return unit directions of the right count."""
+    from gtsfm_tpu.multiview.translation_averaging import (
+        sample_projection_directions,
+    )
+
+    m = rng.normal(size=(40, 3))
+    m /= np.linalg.norm(m, axis=-1, keepdims=True)
+    for method in ("uniform", "measurements", "kde", "mixed"):
+        d = sample_projection_directions(m, 64, method=method, seed=1)
+        assert d.shape == (64, 3)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # measurements scheme actually draws from the inputs.
+    d = sample_projection_directions(m, 16, method="measurements", seed=2)
+    dots = np.abs(d @ m.T).max(axis=1)
+    assert np.all(dots > 0.999)
+    # empty measurement set degrades to uniform.
+    d = sample_projection_directions(np.zeros((0, 3)), 8, method="kde")
+    assert d.shape == (8, 3)
