@@ -25,6 +25,13 @@ class TwoViewEstimationReport:
     R_error_deg: float | None = None  # vs GT, if available
     U_error_deg: float | None = None
     num_matches: int = 0
+    # GT-epipolar classification of the verified correspondences (reference
+    # utils/metrics.py:99-131 compute_correspondence_metrics / Sampson): how
+    # many of the matches the verifier kept are actually consistent with the
+    # GT two-view geometry.
+    num_inliers_gt_model: int | None = None
+    inlier_ratio_gt_model: float | None = None
+    gt_sampson_med_px: float | None = None
 
 
 def two_view_reports_from_results(
@@ -125,3 +132,90 @@ def compute_ba_pose_metrics(wRi_est, wti_est, wRi_gt, wti_gt, valid=None) -> dic
         "mean_rotation_error_deg": float(rot.mean()) if rot.size else float("nan"),
         "mean_translation_error": float(trans.mean()) if trans.size else float("nan"),
     }
+
+
+def add_gt_correspondence_metrics(
+    reports: "dict[tuple[int, int], TwoViewEstimationReport]",
+    pairs,
+    feats_uv,  # list of (K, 2) per-image keypoint arrays (np)
+    match_idx,  # (P, K) matched index in image b per keypoint of a, -1 = none
+    inlier_masks,  # (P, K_corr) verifier inlier mask rows (est model)
+    cals,  # (N, 5) Cal3Bundler params
+    wRi_gt, wti_gt, gt_valid,
+    dist_threshold_px: float = 4.0,
+) -> None:
+    """Classify each pair's VERIFIED correspondences against the GT epipolar
+    geometry (squared Sampson in pixels vs the GT fundamental matrix) and
+    write the counts into the reports — reference
+    utils/metrics.py:99-131 (compute_correspondence_metrics ->
+    epipolar_inlier_correspondences), surfaced per pair in the
+    TwoViewEstimationReport like the reference's frontend summaries.
+    """
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.geometry import cameras as cam_mod
+    from gtsfm_tpu.geometry import epipolar
+
+    mi = np.asarray(match_idx)
+    for k, (a, b) in enumerate(pairs):
+        rep = reports.get((a, b))
+        if rep is None or gt_valid is None or gt_valid[a] <= 0 or gt_valid[b] <= 0:
+            continue
+        ia = np.nonzero(mi[k] >= 0)[0]
+        if ia.size == 0:
+            continue
+        ib = mi[k][ia]
+        # Keep only the verifier's inliers. Correspondence rows keep the full
+        # keypoint-of-a layout (matches_to_correspondences), so the inlier
+        # mask is indexed by keypoint id; the image-correspondence (LoFTR)
+        # path packs rows differently — its masks have a different length,
+        # which the shape guard skips.
+        im = np.asarray(inlier_masks[k])
+        if im.shape[0] != np.asarray(feats_uv[a]).shape[0]:
+            continue
+        keep = im[ia] > 0
+        ia, ib = ia[keep], ib[keep]
+        if ia.size == 0:
+            continue
+        uv1 = np.asarray(feats_uv[a])[ia]
+        uv2 = np.asarray(feats_uv[b])[ib]
+        bRa = wRi_gt[b].T @ wRi_gt[a]
+        bta = wRi_gt[b].T @ (wti_gt[a] - wti_gt[b])
+        nrm = np.linalg.norm(bta)
+        if nrm < 1e-9:
+            continue  # zero-baseline GT: epipolar geometry undefined
+        E = np.asarray(
+            epipolar.essential_from_pose(
+                jnp.asarray(bRa, jnp.float32), jnp.asarray(bta / nrm, jnp.float32)
+            )
+        )
+        K1 = np.asarray(cam_mod.K_from_bundler(jnp.asarray(cals[a])))
+        K2 = np.asarray(cam_mod.K_from_bundler(jnp.asarray(cals[b])))
+        F = np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+        d2 = np.asarray(
+            epipolar.sampson_distance_sq(
+                jnp.asarray(F, jnp.float32), jnp.asarray(uv1, jnp.float32),
+                jnp.asarray(uv2, jnp.float32),
+            )
+        )
+        is_inl = d2 < dist_threshold_px**2
+        rep.num_inliers_gt_model = int(is_inl.sum())
+        rep.inlier_ratio_gt_model = float(is_inl.mean())
+        rep.gt_sampson_med_px = float(np.sqrt(np.median(d2)))
+
+
+def get_precision_recall_from_errors(
+    inlier_errors, outlier_errors, max_inlier_error: float
+):
+    """Precision/recall of a partition judged against an error threshold
+    (reference utils/metrics.py get_precision_recall_from_errors): an edge is
+    TRULY good when its GT error is below max_inlier_error; the partition
+    under test is (kept=inlier_errors, rejected=outlier_errors)."""
+    inl = np.asarray([e for e in inlier_errors if e is not None], np.float64)
+    out = np.asarray([e for e in outlier_errors if e is not None], np.float64)
+    tp = float((inl < max_inlier_error).sum())
+    fp = float((inl >= max_inlier_error).sum())
+    fn = float((out < max_inlier_error).sum())
+    precision = tp / max(tp + fp, 1.0)
+    recall = tp / max(tp + fn, 1.0)
+    return precision, recall

@@ -116,6 +116,10 @@ class PipelineConfig:
     # enable_cache, which governs front-end RESULT reuse).
     compile_cache: bool = True
     seed: int = 0
+    # Diagnostic plots under output_root/plots (correspondence overlays,
+    # view-graph topology, 3D scene — reference scene_optimizer.py:366-418).
+    save_plots: bool = True
+    max_correspondence_plots: int = 8
     # jax.profiler trace output dir (Perfetto/TensorBoard); None disables.
     # TPU analog of the reference's dask performance_report HTMLs
     # (gtsfm_runner_base.py:305).

@@ -706,6 +706,24 @@ class SceneOptimizer:
             )
             for tag, st in tv_stages.items()
         }
+        # GT-epipolar classification of the verified correspondences
+        # (reference utils/metrics.py:99-131) on the final (POST_ISP) stage.
+        if gt_valid0.sum() >= 2 and "POST_ISP" in frontend_reports:
+            _pm.add_gt_correspondence_metrics(
+                frontend_reports["POST_ISP"], pairs,
+                [np.asarray(f.uv) for f in feats], match_idx,
+                np.asarray(res.inlier_mask), cals, wRi_gt0, wti_gt0, gt_valid0,
+                dist_threshold_px=cfg.two_view.estimation_threshold_px,
+            )
+            gt_ratios = [
+                r.inlier_ratio_gt_model
+                for r in frontend_reports["POST_ISP"].values()
+                if r.inlier_ratio_gt_model is not None
+            ]
+            if gt_ratios:
+                metrics[-1].add(
+                    "inlier_ratio_wrt_gt_model", np.asarray(gt_ratios, np.float64)
+                )
 
         edges = np.asarray(
             [p for k, p in enumerate(pairs) if ok[k]], np.int64
@@ -780,6 +798,33 @@ class SceneOptimizer:
         metrics[-1].add("num_cameras_in_largest_cc", int(cc_mask.sum()))
         camera_cc_mask = cc_mask.astype(np.float32)
         kept_edge_set = {tuple(e) for e in edges.tolist()}
+
+        # GT precision/recall of the kept edges (reference
+        # view_graph_estimator_base.py:238-249: R_precision/R_recall etc. at
+        # the 5-degree inlier criterion) + per-partition error distributions.
+        post_isp = frontend_reports.get("POST_ISP", {})
+        if post_isp and gt_valid0.sum() >= 2:
+            inl_R = [r.R_error_deg for pr, r in post_isp.items() if pr in kept_edge_set]
+            out_R = [r.R_error_deg for pr, r in post_isp.items() if pr not in kept_edge_set]
+            inl_U = [r.U_error_deg for pr, r in post_isp.items() if pr in kept_edge_set]
+            out_U = [r.U_error_deg for pr, r in post_isp.items() if pr not in kept_edge_set]
+            from gtsfm_tpu.evaluation.pose_metrics import (
+                get_precision_recall_from_errors,
+            )
+
+            g = metrics[-1]
+            for name, (inl, out) in (("R", (inl_R, out_R)), ("U", (inl_U, out_U))):
+                prec, rec = get_precision_recall_from_errors(inl, out, 5.0)
+                g.add(f"{name}_precision", prec)
+                g.add(f"{name}_recall", rec)
+                live_in = [e for e in inl if e is not None]
+                live_out = [e for e in out if e is not None]
+                if live_in:
+                    g.add(f"inlier_{name}_angular_errors_deg",
+                          np.asarray(live_in, np.float64))
+                if live_out:
+                    g.add(f"outlier_{name}_angular_errors_deg",
+                          np.asarray(live_out, np.float64))
 
         wRi_est, ra_info = ra.run_rotation_averaging(n, edges, i2Ri1)
         g = MetricsGroup("rotation_averaging_metrics")
@@ -1061,6 +1106,49 @@ class SceneOptimizer:
                 metrics, os.path.join(out, "result_metrics", "gtsfm_metrics_report.html")
             )
             save_process_graph(cfg, os.path.join(out, "plots"))
+            if cfg.save_plots:
+                # Per-pair correspondence plots + view-graph/pose plots
+                # (reference scene_optimizer.py:366-418 saves under plots/).
+                from gtsfm_tpu.visualization import plots as viz_plots
+
+                plots_dir = os.path.join(out, "plots")
+                os.makedirs(plots_dir, exist_ok=True)
+                try:
+                    order = np.argsort(-np.asarray(res.num_inliers))
+                    mi_np = np.asarray(match_idx)
+                    inl_np = np.asarray(res.inlier_mask)
+                    for k in order[: cfg.max_correspondence_plots]:
+                        a, b = pairs[int(k)]
+                        if not bool(np.asarray(res.success)[k]):
+                            continue
+                        ia = np.nonzero(mi_np[k] >= 0)[0]
+                        if ia.size == 0 or inl_np[k].shape[0] != np.asarray(feats[a].uv).shape[0]:
+                            continue
+                        ib = mi_np[k][ia]
+                        img_a, _ = loader.get_image(a)
+                        img_b, _ = loader.get_image(b)
+                        viz_plots.plot_correspondences(
+                            img_a.value_array, img_b.value_array,
+                            np.asarray(feats[a].uv)[ia], np.asarray(feats[b].uv)[ib],
+                            inlier_mask=inl_np[k][ia] > 0,
+                            save_path=os.path.join(
+                                plots_dir, f"correspondences_{a:04d}_{b:04d}.png"
+                            ),
+                        )
+                    viz_plots.plot_pose_graph(
+                        np.asarray(final.wti), edges=edges,
+                        wti_gt=wti_gt if gt_valid.sum() >= 3 else None,
+                        save_path=os.path.join(plots_dir, "view_graph_topology.png"),
+                    )
+                    from gtsfm_tpu.visualization.plots import plot_scene_3d
+
+                    plot_scene_3d(
+                        np.asarray(final.points)[np.asarray(final.track_mask) > 0],
+                        np.asarray(final.wti)[np.asarray(final.camera_mask) > 0],
+                        save_path=os.path.join(plots_dir, "scene_3d.png"),
+                    )
+                except Exception as e:  # diagnostics must never kill the run
+                    logger.warning("plot saving failed: %s", e)
             # Interactive 3D web viewer (reference rtf_vis_tool equivalent;
             # the reference duplicates results into the React app's public
             # dir, scene_optimizer.py:47-48 — here one standalone HTML).
