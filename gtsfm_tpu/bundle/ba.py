@@ -140,6 +140,44 @@ def _residual_one(dc, dp, wRi, wti, cal, X, uv):
 _jac_one = jax.jacfwd(_residual_one, argnums=(0, 1))
 
 
+def _apply_camera_delta_fisheye(wRi, wti, cal9, dc):
+    """Fisheye camera update: the 3 calibration lanes map to (df shared by
+    fx/fy, dk1, dk2) of the equidistant model — the dominant refinable
+    parameters (reference optimizes the full Cal3Fisheye through
+    GeneralSFMFactor2Cal3Fisheye, bundle_adjustment.py:106)."""
+    R = wRi @ lie.so3_exp(dc[..., 0:3])
+    t = wti + dc[..., 3:6]
+    if dc.shape[-1] < CAM_DIM:
+        return R, t, cal9
+    z = jnp.zeros_like(dc[..., 0])
+    dcal = jnp.stack(
+        [dc[..., 6], dc[..., 6], z, z, z, dc[..., 7], dc[..., 8], z, z], -1
+    )
+    return R, t, cal9 + dcal
+
+
+def _residual_one_fisheye(dc, dp, wRi, wti, cal9, X, uv):
+    R, t, c = _apply_camera_delta_fisheye(wRi, wti, cal9, dc)
+    pred, _ = cam_mod.project_fisheye(R, t, c, X + dp)
+    return pred - uv
+
+
+_jac_one_fisheye = jax.jacfwd(_residual_one_fisheye, argnums=(0, 1))
+
+
+def _autodiff_blocks_fisheye(wRi, wti, cal9, X, uv):
+    """Residual + Jacobian blocks for fisheye cameras via forward-mode
+    autodiff at zero deltas (same (r, Jc (M,2,9), Jp (M,2,3)) contract as
+    _analytic_blocks, so every Schur/band/distributed solver path works
+    unchanged for Cal3Fisheye scenes)."""
+    M = uv.shape[0]
+    z_dc = jnp.zeros((M, CAM_DIM), uv.dtype)
+    z_dp = jnp.zeros((M, PT_DIM), uv.dtype)
+    r = jax.vmap(_residual_one_fisheye)(z_dc, z_dp, wRi, wti, cal9, X, uv)
+    Jc, Jp = jax.vmap(_jac_one_fisheye)(z_dc, z_dp, wRi, wti, cal9, X, uv)
+    return r, Jc, Jp
+
+
 def _bmm_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Batched small matmul A (..., i, j) @ B (..., j, k) as broadcast
     mul + sum. XLA lowers tiny batched dot_generals (2x3 @ 3x3 etc.) to
@@ -202,6 +240,19 @@ def _analytic_blocks(wRi, wti, cal, X, uv):
     return r, Jc, Jp
 
 
+def _mask_free_columns(Jc: jnp.ndarray, free: jnp.ndarray) -> jnp.ndarray:
+    """Zero the POSE columns of gauge-frozen cameras. Calibration columns
+    (when present) stay free for every live camera: the gauge anchor fixes
+    the pose frame only — freezing its intrinsics too would pin them at
+    whatever (possibly wrong) initial value and bias the whole solve
+    (reference keeps calibration variables separate from the origin pose
+    prior, bundle_adjustment.py:156-208)."""
+    if Jc.shape[-1] <= POSE_DIM:
+        return Jc * free[:, None, None]
+    pose_part = Jc[..., :POSE_DIM] * free[:, None, None]
+    return jnp.concatenate([pose_part, Jc[..., POSE_DIM:]], axis=-1)
+
+
 def _rho_cost(e: jnp.ndarray, mask: jnp.ndarray, huber_k: float, robust: bool) -> jnp.ndarray:
     """Sum of the robust loss over masked residual norms (the LM acceptance
     metric — every block build returns it for free, saving the separate
@@ -225,7 +276,10 @@ def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
     X = scene.points[scene.meas_track]
     uv = scene.meas_uv
 
-    r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
+    if scene.cal.shape[-1] == 9:
+        r, Jc, Jp = _autodiff_blocks_fisheye(wRi, wti, cal, X, uv)
+    else:
+        r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
 
     # Robust Huber IRLS weight on the 2D error norm.
     mask = scene.meas_mask * scene.track_mask[scene.meas_track]
@@ -245,7 +299,7 @@ def _build_blocks(scene: SceneData, cfg: BAConfig, cam_free: jnp.ndarray):
     # (the Schur solve then runs on 6-dim camera blocks).
     if not cfg.optimize_calibration:
         Jc = Jc[..., :POSE_DIM]
-    Jc = Jc * cam_free[scene.meas_cam][:, None, None]
+    Jc = _mask_free_columns(Jc, cam_free[scene.meas_cam])
     return r, Jc, Jp, cost
 
 
@@ -558,18 +612,22 @@ def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
     # table (wRi 9 | wti 3 | cal 5 | cam_free 1) — ~1.5x faster than three
     # row gathers on TPU (gathers serialize). Masked slots route camera 0;
     # their blocks are zeroed below.
+    C5 = scene.cal.shape[-1]  # 5 = Cal3Bundler, 9 = Cal3Fisheye
     table = jnp.concatenate(
         [scene.wRi.reshape(N, 9), scene.wti, scene.cal, cam_free[:, None]], -1
     )
-    g = bucket.onehot.reshape(T * L, N) @ table  # (T*L, 18)
+    g = bucket.onehot.reshape(T * L, N) @ table  # (T*L, 13 + C5)
     wRi = g[:, :9].reshape(-1, 3, 3)
     wti = g[:, 9:12]
-    cal = g[:, 12:17]
-    cam_free_slot = g[:, 17]
+    cal = g[:, 12 : 12 + C5]
+    cam_free_slot = g[:, 12 + C5]
     X = jnp.broadcast_to(points[:, None, :], (T, L, 3)).reshape(-1, 3)
     uv = bucket.uv_b.reshape(-1, 2)
 
-    r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
+    if C5 == 9:
+        r, Jc, Jp = _autodiff_blocks_fisheye(wRi, wti, cal, X, uv)
+    else:
+        r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
 
     # Invalid slots hold garbage inputs (cam 0 / uv 0 / pad-track points) that
     # can overflow to inf inside the projection — SELECT to zero before any
@@ -594,7 +652,7 @@ def _build_blocks_bucketed(scene: SceneData, bucket: _Bucket, cfg: BAConfig,
     Jp = Jp * sw[..., None]
     if not cfg.optimize_calibration:
         Jc = Jc[..., :POSE_DIM]
-    Jc = Jc * cam_free_slot[:, None, None]
+    Jc = _mask_free_columns(Jc, cam_free_slot)
     # Force materialization: without the barrier XLA fuses this whole block
     # build into each of the solver's several consumers and recomputes it.
     return jax.lax.optimization_barrier((r, Jc, Jp, cost))
@@ -989,10 +1047,11 @@ def _routed_states_banded(scene: SceneData, bucket: "_BandBucket",
         ohb, blk_table, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=table.dtype,
     ).reshape(T2 * L, S)
+    C5 = scene.cal.shape[-1]
     wRi = g[:, :9].reshape(-1, 3, 3)
     wti = g[:, 9:12]
-    cal = g[:, 12:17]
-    free = g[:, 17] if cam_free is not None else None
+    cal = g[:, 12 : 12 + C5]
+    free = g[:, 12 + C5] if cam_free is not None else None
     return wRi, wti, cal, free
 
 
@@ -1013,7 +1072,10 @@ def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
     X = jnp.broadcast_to(points[:, None, :], (T2, L, 3)).reshape(-1, 3)
     uv = bucket.uv_b.reshape(-1, 2)
 
-    r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
+    if scene.cal.shape[-1] == 9:
+        r, Jc, Jp = _autodiff_blocks_fisheye(wRi, wti, cal, X, uv)
+    else:
+        r, Jc, Jp = _analytic_blocks(wRi, wti, cal, X, uv)
 
     tmask = jnp.broadcast_to(track_mask[:, None], (T2, L)).reshape(-1)
     live = (bucket.bmask.reshape(-1) * tmask) > 0
@@ -1035,7 +1097,7 @@ def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
     Jp = Jp * sw[..., None]
     if not cfg.optimize_calibration:
         Jc = Jc[..., :POSE_DIM]
-    Jc = Jc * cam_free_slot[:, None, None]
+    Jc = _mask_free_columns(Jc, cam_free_slot)
     return jax.lax.optimization_barrier((r, Jc, Jp, cost))
 
 
@@ -1515,7 +1577,9 @@ def _shared_calibration_step(scene: SceneData, cfg: BAConfig) -> SceneData:
 def _update_scene(scene: SceneData, dc, dp) -> SceneData:
     if dc.shape[-1] < CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, CAM_DIM - dc.shape[-1])))
-    R, t, cal = _apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
+    delta_fn = (_apply_camera_delta_fisheye if scene.cal.shape[-1] == 9
+                else _apply_camera_delta)
+    R, t, cal = delta_fn(scene.wRi, scene.wti, scene.cal, dc)
     return dataclasses.replace(
         scene, wRi=R, wti=t, cal=cal, points=scene.points + dp
     )

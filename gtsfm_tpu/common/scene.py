@@ -82,7 +82,7 @@ class SceneData:
         wti_m = self.wti[self.meas_cam]
         cal_m = self.cal[self.meas_cam]
         X_m = self.points[self.meas_track]
-        uv_pred, depth = cam.project_bundler(wRi_m, wti_m, cal_m, X_m)
+        uv_pred, depth = cam.project_camera(wRi_m, wti_m, cal_m, X_m)
         err = jnp.linalg.norm(uv_pred - self.meas_uv, axis=-1)
         return err * self.meas_mask, depth
 

@@ -166,6 +166,32 @@ def project_bundler(
     return bundler_uncalibrate(cal, pn), depth
 
 
+
+
+def project_fisheye(
+    wRi: jnp.ndarray, wti: jnp.ndarray, cal9: jnp.ndarray, p_world: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project a world point through a Cal3Fisheye camera (equidistant model,
+    reference gtsam Cal3Fisheye / gtsfm common/types.py:9-10). Returns
+    (uv, depth); caller masks depth <= 0."""
+    pc = world_to_camera(wRi, wti, p_world)
+    depth = pc[..., 2]
+    safe_z = jnp.where(jnp.abs(depth) < 1e-9, 1e-9, depth)
+    pn = pc[..., :2] / safe_z[..., None]
+    return fisheye_uncalibrate(cal9, pn), depth
+
+
+def project_camera(
+    wRi: jnp.ndarray, wti: jnp.ndarray, cal: jnp.ndarray, p_world: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-model dispatch by calibration width: 5 params = Cal3Bundler,
+    9 = Cal3Fisheye (the reference's CALIBRATION_TYPE union,
+    common/types.py:9-13, resolved statically at trace time)."""
+    if cal.shape[-1] == 9:
+        return project_fisheye(wRi, wti, cal, p_world)
+    return project_bundler(wRi, wti, cal, p_world)
+
+
 def backproject_bundler(
     wRi: jnp.ndarray, wti: jnp.ndarray, cal: jnp.ndarray, uv: jnp.ndarray, depth: jnp.ndarray
 ) -> jnp.ndarray:

@@ -40,8 +40,17 @@ def write_cameras_txt(path: str, cal: np.ndarray, image_sizes: list[tuple[int, i
         f.write(f"# Number of cameras: {n}\n")
         for i in range(n):
             w, h = image_sizes[i]
-            fx, k1, k2, cx, cy = [float(v) for v in cal[i]]
-            f.write(f"{i + 1} RADIAL {w} {h} {fx} {cx} {cy} {k1} {k2}\n")
+            if cal.shape[-1] == 9:
+                # Cal3Fisheye -> COLMAP OPENCV_FISHEYE
+                # (fx fy cx cy k1 k2 k3 k4; equidistant model in both).
+                fx, fy, _, cx, cy, k1, k2, k3, k4 = [float(v) for v in cal[i]]
+                f.write(
+                    f"{i + 1} OPENCV_FISHEYE {w} {h} "
+                    f"{fx} {fy} {cx} {cy} {k1} {k2} {k3} {k4}\n"
+                )
+            else:
+                fx, k1, k2, cx, cy = [float(v) for v in cal[i]]
+                f.write(f"{i + 1} RADIAL {w} {h} {fx} {cx} {cy} {k1} {k2}\n")
 
 
 def write_images_txt(

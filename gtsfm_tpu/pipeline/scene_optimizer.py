@@ -596,9 +596,11 @@ class SceneOptimizer:
         # Fisheye rigs (Hilti): undistort keypoints into a virtual pinhole so
         # the Cal3Bundler pipeline stays valid (reference handles this via
         # Cal3Fisheye inside GTSAM; here the undistortion happens once).
+        fisheye_orig = None
         if hasattr(loader, "get_fisheye_calibration"):
             scale = cals[0][0] / loader.get_camera_intrinsics_full_res(0)[0]
             new_feats = []
+            orig_kp, cal9_list = [], []
             for i, f in enumerate(feats):
                 cal9 = np.asarray(loader.get_fisheye_calibration(i), np.float32).copy()
                 cal9[[0, 1, 3, 4]] *= scale  # match the rescaled resolution
@@ -606,10 +608,18 @@ class SceneOptimizer:
                     jnp.asarray(cal9), f.uv
                 )
                 uv_pin = uv_pin * f.mask[:, None]
+                orig_kp.append(np.asarray(f.uv))
+                cal9_list.append(cal9)
                 new_feats.append(f._replace(uv=uv_pin))
                 cals[i] = np.asarray(cal5)
             feats = new_feats
-            logger.info("fisheye keypoints undistorted to virtual pinhole")
+            # Original distorted keypoints + Cal3Fisheye params: the final BA
+            # stage re-optimizes natively on these (fisheye inside BA, like
+            # the reference's GeneralSFMFactor2Cal3Fisheye path) instead of
+            # trusting the one-time undistortion.
+            fisheye_orig = (orig_kp, np.stack(cal9_list))
+            logger.info("fisheye keypoints undistorted to virtual pinhole "
+                        "(native fisheye BA refinement runs after global BA)")
         t_feat = time.time()
         g = MetricsGroup("correspondence_metrics")
         g.add("num_keypoints_per_image", np.asarray([float(f.mask.sum()) for f in feats]))
@@ -978,6 +988,55 @@ class SceneOptimizer:
             final, ba_stats = ba.run_ba_with_filtering(
                 sc, cfg.multi_view.ba_reproj_thresholds_px, ba_cfg, priors=ba_priors
             )
+        if fisheye_orig is not None:
+            # Native Cal3Fisheye refinement on the ORIGINAL distorted
+            # measurements (reference optimizes fisheye cameras inside BA,
+            # bundle_adjustment.py:106 + common/types.py:9-13): rebuild the
+            # surviving tracks' measurements with the raw keypoints, seed
+            # poses/points from the pinhole solution, one LM stage + filter.
+            orig_kp_list, cal9_all = fisheye_orig
+            meas_tracks_fish = tracks_mod.tracks_to_measurements(
+                trks, np.stack(orig_kp_list)
+            )
+            sc_fish = scene_mod.make_scene(
+                np.asarray(final.wRi), np.asarray(final.wti), cal9_all,
+                meas_tracks_fish, camera_mask=camera_cc_mask,
+                pad_tracks_to=final.num_tracks_padded,
+            )
+            sc_fish = dataclasses.replace(
+                sc_fish,
+                points=final.points,
+                track_mask=sc_fish.track_mask * final.track_mask,
+            )
+            fish_cfg = ba.BAConfig(
+                max_iterations=cfg.multi_view.ba_max_iterations,
+                optimize_calibration=cfg.multi_view.optimize_calibration,
+                bucket_l=ba.auto_bucket_l(sc_fish),
+            )
+            fish_res = ba.lm_optimize(sc_fish, fish_cfg, priors=ba_priors)
+            final_fish = fish_res.scene.filter_landmarks(
+                cfg.multi_view.ba_reproj_thresholds_px[-1]
+            )
+            ba_stats.append(
+                dict(
+                    threshold=float(cfg.multi_view.ba_reproj_thresholds_px[-1]),
+                    initial_cost=float(fish_res.initial_cost),
+                    final_cost=float(fish_res.final_cost),
+                    iterations=int(fish_res.iterations),
+                    tracks=final_fish.num_tracks(),
+                    measurements=final_fish.num_measurements(),
+                    stage="fisheye_native",
+                )
+            )
+            logger.info(
+                "native fisheye BA: cost %.1f -> %.1f (%d iters)",
+                float(fish_res.initial_cost), float(fish_res.final_cost),
+                int(fish_res.iterations),
+            )
+            # Keep the refined poses/points; exports stay on the pinhole
+            # scene's calibration width except COLMAP cameras, which write
+            # OPENCV_FISHEYE when the final scene is fisheye.
+            final = final_fish
         t_ba = time.time()
         err, _ = final.reprojection_errors()
         live = np.asarray(final.meas_mask) > 0
@@ -1038,6 +1097,16 @@ class SceneOptimizer:
                 loader.get_image(0)[0].value_array.shape[:2]
             )
             mvs_cal = np.asarray(export_scene.cal).copy()
+            if mvs_cal.shape[-1] == 9:
+                # Fisheye final scene: approximate pinhole K for the MVS
+                # engines (plane sweep assumes undistorted images; fisheye
+                # distortion at MVS resolution is secondary).
+                logger.warning("densify on fisheye scene uses virtual-pinhole K")
+                f_avg = 0.5 * (mvs_cal[:, 0] + mvs_cal[:, 1])
+                mvs_cal = np.stack(
+                    [f_avg, np.zeros_like(f_avg), np.zeros_like(f_avg),
+                     mvs_cal[:, 3], mvs_cal[:, 4]], -1,
+                )
             mvs_cal[:, [0, 3, 4]] *= mvs_scale
             mvs_scene = dataclasses.replace(export_scene, cal=jnp.asarray(mvs_cal))
             if cfg.densify.engine == "patchmatchnet":
