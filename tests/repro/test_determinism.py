@@ -1,13 +1,13 @@
 """Reproducibility suite: nondeterminism-prone components must be bitwise
 stable across repeated runs (reference tests/repro_tests/test_repro_base.py:11,
-NUM_REPETITIONS=10; 5 here — the failure mode is binary)."""
+NUM_REPETITIONS=10, matched here)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-NUM_REPETITIONS = 5
+NUM_REPETITIONS = 10
 
 
 def assert_repeatable(fn, to_arrays, n=NUM_REPETITIONS):
