@@ -54,21 +54,10 @@ class SyntheticAerialLoader(LoaderBase):
         self._f = float(focal)
         rng = np.random.default_rng(seed)
 
-        # Terrain + albedo fields over [0, S] x [0, S] world units. The
-        # texture is band-limited to features a few PIXELS wide at the render
-        # resolution (set below once world_size is known) — aliased texture
-        # decorrelates appearance across views and kills matching.
+        # Terrain field over [0, S] x [0, S] world units (S set below).
         self._grid_n = 512
-        self._tex_n = 2048
         self._terrain = _smooth_grid(rng, self._grid_n, 12.0) * terrain_relief
-        tex = (
-            0.40 * _smooth_grid(rng, self._tex_n, 4.0)
-            + 0.35 * _smooth_grid(rng, self._tex_n, 12.0)
-            + 0.25 * _smooth_grid(rng, self._tex_n, 40.0)
-        )
-        tex -= tex.min()
-        tex /= max(tex.max(), 1e-9)
-        self._texture = tex.astype(np.float32)
+        self._tex_rng = rng
 
         # Serpentine path with survey-style overlap: ~75% along-track
         # (0.25-footprint spacing) and ~50% sidelap (0.5-footprint row
@@ -97,6 +86,23 @@ class SyntheticAerialLoader(LoaderBase):
                 rots.append(Rt.astype(np.float32))
         self._wti = np.stack(centers)
         self._wRi = np.stack(rots)
+
+        # Multi-octave albedo texture, band-limited IN PIXELS regardless of
+        # world size: octave k samples an independent smooth 512-grid at
+        # frequency 2^k (wrap). The octave count is chosen so the finest
+        # octave has ~3 px features at the render resolution — keypoint
+        # density then stays constant as the survey area (world_size) grows
+        # with the image count. Aliased or too-smooth texture collapses SIFT
+        # keypoint counts and with them the whole pair graph.
+        px_world = altitude / self._f  # world units per pixel at nadir
+        feat_world_base = self._world_size * (8.0 / 512.0)  # octave-0 feature
+        n_oct = max(
+            2,
+            int(np.ceil(np.log2(max(feat_world_base / (3.0 * px_world), 2.0)))) + 1,
+        )
+        self._tex_octaves = [
+            _smooth_grid(self._tex_rng, 512, 8.0) for _ in range(n_oct)
+        ]
         self._cache: dict[int, Image] = {}
 
     # ------------------------------------------------------------ LoaderBase
@@ -154,7 +160,14 @@ class SyntheticAerialLoader(LoaderBase):
             t = (hh - c[2]) / dz
         px = c[0] + t * d_world[..., 0]
         py = c[1] + t * d_world[..., 1]
-        albedo = self._field(self._texture, px, py)
+        albedo = np.zeros_like(px, dtype=np.float32)
+        for k, g in enumerate(self._tex_octaves):
+            albedo += 0.9**k * self._field(g, px * (2.0**k), py * (2.0**k))
+        # Contrast-normalize the octave mix: averaging independent fields
+        # shrinks the dynamic range and SIFT's contrast threshold would
+        # reject everything.
+        albedo = (albedo - albedo.mean()) / max(float(albedo.std()), 1e-6)
+        albedo = np.clip(albedo * 0.22 + 0.55, 0.0, 1.0)
         # Mild shading from height (adds low-frequency structure).
         shade = 0.75 + 0.25 * self._field(self._terrain, px, py) / max(
             float(self._terrain.max()), 1e-9

@@ -14,10 +14,18 @@ over ICI:
     normal-equation blocks are reduced with psum — the "distributed Schur
     reduction over ICI" design from BASELINE.md. Cameras/points are
     replicated (their state is tiny relative to measurements).
+
+Compiled-step caching: every shard_map program is built by a module-level
+``functools.lru_cache`` factory keyed on (mesh, cfg, statics) and wrapped in
+``jax.jit``, so an LM loop re-dispatches ONE compiled executable per
+iteration instead of re-tracing the step — and the (sort, bucket, band
+regroup) prologue is hoisted out of the loop entirely
+(_tracksharded_prologue / _banded_prologue, computed once per LM stage).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -38,6 +46,45 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def _cam_free_of(sc: SceneData) -> jnp.ndarray:
+    """Gauge mask: first live camera's pose frozen (computed in-trace)."""
+    N = sc.num_cameras_padded
+    first_live = jnp.argmax(sc.camera_mask > 0)
+    cam_fixed = jax.nn.one_hot(first_live, N, dtype=sc.camera_mask.dtype)
+    return (1.0 - cam_fixed) * sc.camera_mask
+
+
+def _scene_rep_spec() -> SceneData:
+    return SceneData(
+        wRi=P(), wti=P(), cal=P(), camera_mask=P(), points=P(), track_mask=P(),
+        meas_cam=P(), meas_track=P(), meas_uv=P(), meas_mask=P(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair-sharded two-view verification (front-end fan-out)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _pair_verify_factory(mesh: Mesh, num_hypotheses: int):
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(keys_l, x1_l, x2_l, mask_l, thr_l):
+        return ransac.verify_essential_batched(
+            keys_l[0], x1_l, x2_l, mask_l, thr_l, num_hypotheses=num_hypotheses
+        )
+
+    return run
+
+
 def pair_sharded_verify(
     mesh: Mesh,
     key: jax.Array,
@@ -54,18 +101,7 @@ def pair_sharded_verify(
     assert P_total % n_dev == 0, "pad pairs to a multiple of mesh size"
 
     keys = jax.random.split(key, n_dev)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
-    )
-    def run(keys_l, x1_l, x2_l, mask_l, thr_l):
-        return ransac.verify_essential_batched(
-            keys_l[0], x1_l, x2_l, mask_l, thr_l, num_hypotheses=num_hypotheses
-        )
-
+    run = _pair_verify_factory(mesh, num_hypotheses)
     thr = jnp.broadcast_to(jnp.asarray(threshold, x1.dtype), (P_total,))
     in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
     args = multihost.shard_inputs(mesh, in_specs, (keys, x1, x2, mask, thr))
@@ -75,51 +111,31 @@ def pair_sharded_verify(
     )
 
 
+# ---------------------------------------------------------------------------
+# Prior blocks (between factors), replicated
+# ---------------------------------------------------------------------------
+
+
 def _make_prior_blocks(scene: SceneData, priors, cfg: ba.BAConfig):
     """Sliced between-factor blocks (replicated; reference _between_factors).
     Returns (rp, Ja, Jb, ea, eb) with Jacobians cut to the live camera width."""
-    N = scene.num_cameras_padded
-    first_live = jnp.argmax(scene.camera_mask > 0)
-    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
-    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+    cam_free = _cam_free_of(scene)
     rp, Ja, Jb = ba._prior_blocks(scene, priors, cam_free)
     Dk = ba._cam_dim(cfg)
     return (rp, Ja[..., :Dk], Jb[..., :Dk], priors.edges_a, priors.edges_b)
 
 
-def distributed_ba_gn_step_tracksharded(
-    mesh: Mesh,
-    scene: SceneData,
-    bucket_l: int,
-    lam: float = 1e-4,
-    cfg: ba.BAConfig = ba.BAConfig(),
-    priors: "ba.RelativePosePriors | None" = None,
-) -> SceneData:
-    """One damped GN step with TRACKS sharded across the mesh and the
-    scatter-free bucketed Schur assembly per shard.
+# ---------------------------------------------------------------------------
+# TRACK-sharded bucketed GN step (one dense-reduction psum per step)
+# ---------------------------------------------------------------------------
 
-    Every track's measurements live on one device (the (T, L) bucket layout
-    shards on its leading axis), so the whole reduction needs exactly ONE
-    psum per step — of (Hcc, bc, S_red, v), a few MB — instead of the
-    measurement-sharded path's two collectives per PCG iteration. Hpp and
-    the point back-substitution stay fully local to each shard. This is the
-    production multi-chip BA layout (ICI traffic ~ O(N^2 D^2), independent
-    of the measurement count).
-    """
-    import dataclasses
 
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+def _tracksharded_prologue(scene: SceneData, bucket_l: int):
+    """Sort measurements by (track, cam) + build the (T, L) bucket — layout
+    work shared by every LM iteration (measurement indices never change
+    inside a stage, only camera/point VALUES do)."""
     N = scene.num_cameras_padded
     T = scene.num_tracks_padded
-    D = ba._cam_dim(cfg)
-    assert T % n_dev == 0, "pad tracks to a multiple of mesh size"
-
-    first_live = jnp.argmax(scene.camera_mask > 0)
-    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
-    cam_free = (1.0 - cam_fixed) * scene.camera_mask
-
-    # Sort + bucket once per step (replicated; cheap relative to the solve).
     sort_track = jnp.where(scene.meas_mask > 0, scene.meas_track, T)
     order = jnp.argsort(sort_track * N + scene.meas_cam)
     sc_sorted = dataclasses.replace(
@@ -128,21 +144,29 @@ def distributed_ba_gn_step_tracksharded(
         meas_uv=scene.meas_uv[order], meas_mask=scene.meas_mask[order],
     )
     bucket = ba._make_bucket(sc_sorted, bucket_l)
+    return sc_sorted, bucket
 
+
+@functools.lru_cache(maxsize=32)
+def _tracksharded_core_factory(mesh: Mesh, cfg: ba.BAConfig, has_pb: bool):
+    axis = mesh.axis_names[0]
     bucket_spec = ba._Bucket(cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot=P(axis))
-    pb = _make_prior_blocks(sc_sorted, priors, cfg) if priors is not None else None
-    pb_spec = None if pb is None else tuple(P() for _ in pb)
+    pb_spec = tuple(P() for _ in range(5)) if has_pb else None
 
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(bucket_spec, P(axis), P(axis), P(), pb_spec),
+        in_specs=(bucket_spec, _scene_rep_spec(), P(axis), P(axis), P(), pb_spec),
         out_specs=(P(), P(axis)),
     )
-    def step(bkt, pts, tmask, lam_arr, pb_rep):
+    def step(bkt, sc, pts, tmask, lam_arr, pb_rep):
+        N = sc.num_cameras_padded
+        D = ba._cam_dim(cfg)
+        cam_free = _cam_free_of(sc)
         Tl, L = bkt.bmask.shape
         r, Jc, Jp, _ = ba._build_blocks_bucketed(
-            sc_sorted, bkt, cfg, cam_free, points=pts, track_mask=tmask
+            sc, bkt, cfg, cam_free, points=pts, track_mask=tmask
         )
         Jc_b = Jc.reshape(Tl, L, 2, D)
         Jp_b = Jp.reshape(Tl, L, 2, 3)
@@ -197,56 +221,69 @@ def distributed_ba_gn_step_tracksharded(
         )
         return dc, dp_l
 
-    in_specs = (bucket_spec, P(axis), P(axis), P(), pb_spec)
+    return step
+
+
+def _tracksharded_apply(mesh, sc_sorted, bucket, lam, cfg, pb):
+    axis = mesh.axis_names[0]
+    step = _tracksharded_core_factory(mesh, cfg, pb is not None)
+    bucket_spec = ba._Bucket(cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot=P(axis))
+    pb_spec = None if pb is None else tuple(P() for _ in pb)
+    in_specs = (bucket_spec, _scene_rep_spec(), P(axis), P(axis), P(), pb_spec)
     args = multihost.shard_inputs(
         mesh, in_specs,
-        (bucket, sc_sorted.points, sc_sorted.track_mask,
-         jnp.asarray([lam], scene.meas_uv.dtype), pb),
+        (bucket, sc_sorted, sc_sorted.points, sc_sorted.track_mask,
+         jnp.asarray([lam], sc_sorted.meas_uv.dtype), pb),
     )
     dc, dp = multihost.gather_outputs(mesh, (P(), P(axis)), step(*args))
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
-    R, t, cal = ba._apply_camera_delta(sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, dc)
+    delta_fn = (ba._apply_camera_delta_fisheye if sc_sorted.cal.shape[-1] == 9
+                else ba._apply_camera_delta)
+    R, t, cal = delta_fn(sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, dc)
     return dataclasses.replace(
         sc_sorted, wRi=R, wti=t, cal=cal, points=sc_sorted.points + dp
     )
 
 
-def distributed_ba_gn_step_banded(
+def distributed_ba_gn_step_tracksharded(
     mesh: Mesh,
     scene: SceneData,
     bucket_l: int,
-    band: tuple,
-    band_plan: "ba.BandPlan",
     lam: float = 1e-4,
     cfg: ba.BAConfig = ba.BAConfig(),
     priors: "ba.RelativePosePriors | None" = None,
 ) -> SceneData:
-    """One damped GN step with camera-BANDED row-sharded Schur reduction —
-    the production multi-chip layout for LARGE sequential scenes.
+    """One damped GN step with TRACKS sharded across the mesh and the
+    scatter-free bucketed Schur assembly per shard.
 
-    Each device owns a contiguous slice of banded track rows (whole Tb-row
-    blocks) and reduces its coupling into per-window blocks; THE one psum of
-    the step moves only the (B, 2CD, 2CD) window reduction blocks plus the
-    (B, ...) Hcc/bc/rhs window accumulations over ICI — O(B (2CD)^2) bytes,
-    independent of the measurement count and (N/2C)^2 x smaller than
-    psumming a dense (ND)^2 reduction. The reduced solve (window-block PCG,
-    bundle/ba._schur_solve_pcg_banded's formulation) is replicated; point
-    back-substitution stays local to each shard.
+    Every track's measurements live on one device (the (T, L) bucket layout
+    shards on its leading axis), so the whole reduction needs exactly ONE
+    psum per step — of (Hcc, bc, S_red, v), a few MB — instead of the
+    measurement-sharded path's two collectives per PCG iteration. Hpp and
+    the point back-substitution stay fully local to each shard. This is the
+    production multi-chip BA layout (ICI traffic ~ O(N^2 D^2), independent
+    of the measurement count).
     """
-    import dataclasses
-
-    axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
+    assert scene.num_tracks_padded % n_dev == 0, "pad tracks to mesh size"
+    sc_sorted, bucket = _tracksharded_prologue(scene, bucket_l)
+    pb = _make_prior_blocks(sc_sorted, priors, cfg) if priors is not None else None
+    return _tracksharded_apply(mesh, sc_sorted, bucket, lam, cfg, pb)
+
+
+# ---------------------------------------------------------------------------
+# Camera-BANDED row-sharded GN step (window-block psum per step)
+# ---------------------------------------------------------------------------
+
+
+def _banded_prologue(scene: SceneData, bucket_l: int, band: tuple,
+                     band_plan: "ba.BandPlan", n_dev: int):
+    """Banded-row regroup + (track, cam) sort + band bucket + whole-block
+    padding to the mesh size — once per LM stage."""
     C_, B_, T2, Tb, K = band
     N = scene.num_cameras_padded
     Wd = 2 * C_
-
-    first_live = jnp.argmax(scene.camera_mask > 0)
-    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
-    cam_free = (1.0 - cam_fixed) * scene.camera_mask
-
-    # Banded-row regroup + (track, cam) sort — lm_optimize's banded prologue.
     rot = band_plan.row_of_track
     sc2 = dataclasses.replace(
         scene,
@@ -266,49 +303,54 @@ def distributed_ba_gn_step_banded(
     # Pad whole Tb-row blocks (fully masked, last window) so the row-block
     # axis divides the mesh; padded rows contribute zeros everywhere.
     pad_blocks = (-K) % n_dev
-    pts_all = sc2.points
-    tmask_all = sc2.track_mask
+    pad_rows = pad_blocks * Tb
     if pad_blocks:
-        pr = pad_blocks * Tb
         L_ = bucket.bmask.shape[1]
         z = lambda a, shp: jnp.concatenate([a, jnp.zeros(shp, a.dtype)], 0)
         bucket = ba._BandBucket(
-            cam_b=z(bucket.cam_b, (pr, L_)),
-            uv_b=z(bucket.uv_b, (pr, L_, 2)),
-            bmask=z(bucket.bmask, (pr, L_)),
-            onehot_loc=z(bucket.onehot_loc, (pr, L_, Wd)),
+            cam_b=z(bucket.cam_b, (pad_rows, L_)),
+            uv_b=z(bucket.uv_b, (pad_rows, L_, 2)),
+            bmask=z(bucket.bmask, (pad_rows, L_)),
+            onehot_loc=z(bucket.onehot_loc, (pad_rows, L_, Wd)),
             track_window=jnp.concatenate(
                 [bucket.track_window,
-                 jnp.full((pr,), B_ - 1, bucket.track_window.dtype)], 0),
+                 jnp.full((pad_rows,), B_ - 1, bucket.track_window.dtype)], 0),
             block_window=jnp.concatenate(
                 [bucket.block_window,
                  jnp.full((pad_blocks,), B_ - 1, bucket.block_window.dtype)], 0),
         )
-        pts_all = z(pts_all, (pr, 3))
-        tmask_all = z(tmask_all, (pr,))
+    return sc2, bucket, pad_rows
 
+
+@functools.lru_cache(maxsize=32)
+def _banded_core_factory(mesh: Mesh, cfg: ba.BAConfig, band: tuple, has_pb: bool):
+    axis = mesh.axis_names[0]
+    C_, B_, T2, Tb, K = band
+    Wd = 2 * C_
     bucket_spec = ba._BandBucket(
         cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot_loc=P(axis),
         track_window=P(axis), block_window=P(axis),
     )
-    pb = _make_prior_blocks(sc2, priors, cfg) if priors is not None else None
-    pb_spec = None if pb is None else tuple(P() for _ in pb)
+    pb_spec = tuple(P() for _ in range(5)) if has_pb else None
 
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(bucket_spec, P(axis), P(axis), P(), pb_spec),
+        in_specs=(bucket_spec, _scene_rep_spec(), P(axis), P(axis), P(), pb_spec),
         out_specs=(P(), P(axis)),
     )
-    def step(bkt, pts, tmask, lam_arr, pb_rep):
-        T2l, L = bkt.bmask.shape
-        Kl = bkt.block_window.shape[0]
+    def step(bkt, sc, pts, tmask, lam_arr, pb_rep):
+        N = sc.num_cameras_padded
         D = ba._cam_dim(cfg)
         CD = C_ * D
+        cam_free = _cam_free_of(sc)
+        T2l, L = bkt.bmask.shape
+        Kl = bkt.block_window.shape[0]
         lam_v = lam_arr[0]
 
         r, Jc, Jp, _ = ba._build_blocks_banded(
-            sc2, bkt, cfg, cam_free, points=pts, track_mask=tmask
+            sc, bkt, cfg, cam_free, points=pts, track_mask=tmask
         )
         Jc_b = Jc.reshape(T2l, L, 2, D)
         Jp_b = Jp.reshape(T2l, L, 2, 3)
@@ -425,121 +467,102 @@ def distributed_ba_gn_step_banded(
         dp_l = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_dc)
         return dc, dp_l
 
-    in_specs = (bucket_spec, P(axis), P(axis), P(), pb_spec)
+    return step
+
+
+def _banded_apply(mesh, sc2, bucket, pad_rows, band, lam, cfg, pb):
+    """One banded GN step on the REGROUPED scene layout (prologue already
+    applied); returns the updated regrouped scene."""
+    axis = mesh.axis_names[0]
+    C_, B_, T2, Tb, K = band
+    step = _banded_core_factory(mesh, cfg, band, pb is not None)
+    pts_all = sc2.points
+    tmask_all = sc2.track_mask
+    if pad_rows:
+        pts_all = jnp.concatenate(
+            [pts_all, jnp.zeros((pad_rows, 3), pts_all.dtype)], 0)
+        tmask_all = jnp.concatenate(
+            [tmask_all, jnp.zeros((pad_rows,), tmask_all.dtype)], 0)
+    bucket_spec = ba._BandBucket(
+        cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot_loc=P(axis),
+        track_window=P(axis), block_window=P(axis),
+    )
+    pb_spec = None if pb is None else tuple(P() for _ in pb)
+    in_specs = (bucket_spec, _scene_rep_spec(), P(axis), P(axis), P(), pb_spec)
     args = multihost.shard_inputs(
         mesh, in_specs,
-        (bucket, pts_all, tmask_all, jnp.asarray([lam], scene.meas_uv.dtype), pb),
+        (bucket, sc2, pts_all, tmask_all,
+         jnp.asarray([lam], sc2.meas_uv.dtype), pb),
     )
     dc, dp = multihost.gather_outputs(mesh, (P(), P(axis)), step(*args))
     dp = dp[:T2]
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
-    R, t, cal = ba._apply_camera_delta(sc2.wRi, sc2.wti, sc2.cal, dc)
-    out = dataclasses.replace(
-        sc2, wRi=R, wti=t, cal=cal, points=sc2.points + dp
-    )
-    # Undo the banded regrouping (input track layout; measurements stay sorted).
+    delta_fn = (ba._apply_camera_delta_fisheye if sc2.cal.shape[-1] == 9
+                else ba._apply_camera_delta)
+    R, t, cal = delta_fn(sc2.wRi, sc2.wti, sc2.cal, dc)
+    return dataclasses.replace(sc2, wRi=R, wti=t, cal=cal, points=sc2.points + dp)
+
+
+def _banded_ungroup(sc2: SceneData, band_plan: "ba.BandPlan") -> SceneData:
+    """Undo the banded track regrouping (input track layout; measurements
+    stay in their sorted order, like the single-device banded path)."""
+    rot = band_plan.row_of_track
     return dataclasses.replace(
-        out,
-        points=out.points[rot],
-        track_mask=out.track_mask[rot],
+        sc2,
+        points=sc2.points[rot],
+        track_mask=sc2.track_mask[rot],
         meas_track=band_plan.old_of_row[
-            jnp.clip(out.meas_track, 0, band_plan.old_of_row.shape[0] - 1)
+            jnp.clip(sc2.meas_track, 0, band_plan.old_of_row.shape[0] - 1)
         ],
     )
 
 
-def distributed_lm_optimize(
+def distributed_ba_gn_step_banded(
     mesh: Mesh,
     scene: SceneData,
+    bucket_l: int,
+    band: tuple,
+    band_plan: "ba.BandPlan",
+    lam: float = 1e-4,
     cfg: ba.BAConfig = ba.BAConfig(),
-    band_plan: "ba.BandPlan | None" = None,
-    priors: "ba.RelativePosePriors | None" = None,
-) -> tuple[SceneData, dict]:
-    """Full distributed LM loop with host-side damping/acceptance — the
-    distributed analog of bundle/ba.lm_optimize for problems exceeding one
-    chip. Cost evaluation is replicated (cameras/points are small).
-
-    With cfg.band + band_plan set, each iteration is the BANDED row-sharded
-    step (one psum of window blocks — the large-scene production layout);
-    with cfg.bucket_l alone, the track-sharded bucketed step (one psum of the
-    dense reduction); otherwise the measurement-sharded psum-Schur PCG.
-
-    Returns (optimized scene, stats dict).
-    """
-    lam = cfg.lambda_init
-
-    def total_cost(s):
-        c = float(ba.robust_cost(s, cfg.huber_k, cfg.robust))
-        if priors is not None:
-            c += float(ba.prior_cost(s, priors))
-        return c
-
-    cost = total_cost(scene)
-    cost0 = cost
-    accepted = 0
-    for it in range(cfg.max_iterations):
-        if cfg.band is not None:
-            assert band_plan is not None, "cfg.band requires band_plan"
-            cand = distributed_ba_gn_step_banded(
-                mesh, scene, cfg.bucket_l, cfg.band, band_plan, lam=lam, cfg=cfg,
-                priors=priors,
-            )
-        elif cfg.bucket_l is not None:
-            cand = distributed_ba_gn_step_tracksharded(
-                mesh, scene, cfg.bucket_l, lam=lam, cfg=cfg, priors=priors
-            )
-        else:
-            cand = distributed_ba_gn_step(mesh, scene, lam=lam, cfg=cfg, priors=priors)
-        new_cost = total_cost(cand)
-        if new_cost < cost:
-            scene = cand
-            rel = (cost - new_cost) / max(cost, 1e-12)
-            cost = new_cost
-            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
-            accepted += 1
-            if rel < 1e-6:
-                break
-        else:
-            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
-            if lam >= cfg.lambda_max:
-                break
-    return scene, {
-        "initial_cost": cost0, "final_cost": cost,
-        "iterations": it + 1, "accepted": accepted,
-    }
-
-
-def distributed_ba_gn_step(
-    mesh: Mesh, scene: SceneData, lam: float = 1e-4, cfg: ba.BAConfig = ba.BAConfig(),
     priors: "ba.RelativePosePriors | None" = None,
 ) -> SceneData:
-    """One damped Gauss-Newton BA step with measurement-sharded Jacobians.
+    """One damped GN step with camera-BANDED row-sharded Schur reduction —
+    the production multi-chip layout for LARGE sequential scenes.
 
-    Each device: local residual/Jacobian blocks -> local segment-sums ->
-    psum over the mesh (the distributed Schur reduction) -> replicated PCG
-    solve -> replicated state update. Returns the updated scene.
+    Each device owns a contiguous slice of banded track rows (whole Tb-row
+    blocks) and reduces its coupling into per-window blocks; THE one psum of
+    the step moves only the (B, 2CD, 2CD) window reduction blocks plus the
+    (B, ...) Hcc/bc/rhs window accumulations over ICI — O(B (2CD)^2) bytes,
+    independent of the measurement count and (N/2C)^2 x smaller than
+    psumming a dense (ND)^2 reduction. The reduced solve (window-block PCG,
+    bundle/ba._schur_solve_pcg_banded's formulation) is replicated; point
+    back-substitution stays local to each shard.
     """
-    axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    M = scene.num_measurements_padded
-    assert M % n_dev == 0, "pad measurements to a multiple of mesh size"
+    sc2, bucket, pad_rows = _banded_prologue(scene, bucket_l, band, band_plan, n_dev)
+    pb = _make_prior_blocks(sc2, priors, cfg) if priors is not None else None
+    out = _banded_apply(mesh, sc2, bucket, pad_rows, band, lam, cfg, pb)
+    return _banded_ungroup(out, band_plan)
 
-    N = scene.num_cameras_padded
 
-    first_live = jnp.argmax(scene.camera_mask > 0)
-    cam_fixed = jax.nn.one_hot(first_live, N, dtype=scene.camera_mask.dtype)
-    cam_free = (1.0 - cam_fixed) * scene.camera_mask
+# ---------------------------------------------------------------------------
+# Measurement-sharded GN step (psum-Schur matrix-free PCG)
+# ---------------------------------------------------------------------------
 
+
+@functools.lru_cache(maxsize=32)
+def _meas_core_factory(mesh: Mesh, cfg: ba.BAConfig, has_pb: bool):
+    axis = mesh.axis_names[0]
     meas_spec = SceneData(
         wRi=P(), wti=P(), cal=P(), camera_mask=P(),
         points=P(), track_mask=P(),
         meas_cam=P(axis), meas_track=P(axis), meas_uv=P(axis), meas_mask=P(axis),
     )
+    pb_spec = tuple(P() for _ in range(5)) if has_pb else None
 
-    pb = _make_prior_blocks(scene, priors, cfg) if priors is not None else None
-    pb_spec = None if pb is None else tuple(P() for _ in pb)
-
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -547,6 +570,8 @@ def distributed_ba_gn_step(
         out_specs=(P(), P()),
     )
     def step(scene_shard: SceneData, lam_arr, pb_rep):
+        N = scene_shard.num_cameras_padded
+        cam_free = _cam_free_of(scene_shard)
         # Local Jacobian blocks on this device's measurement shard.
         r, Jc, Jp, _ = ba._build_blocks(scene_shard, cfg, cam_free)
         mc = scene_shard.meas_cam
@@ -628,6 +653,32 @@ def distributed_ba_gn_step(
         dp = jnp.einsum("tij,tj->ti", Hpp_inv, bp - Hpc_x(dc))
         return dc, dp
 
+    return step
+
+
+def distributed_ba_gn_step(
+    mesh: Mesh, scene: SceneData, lam: float = 1e-4, cfg: ba.BAConfig = ba.BAConfig(),
+    priors: "ba.RelativePosePriors | None" = None,
+) -> SceneData:
+    """One damped Gauss-Newton BA step with measurement-sharded Jacobians.
+
+    Each device: local residual/Jacobian blocks -> local segment-sums ->
+    psum over the mesh (the distributed Schur reduction) -> replicated PCG
+    solve -> replicated state update. Returns the updated scene.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    M = scene.num_measurements_padded
+    assert M % n_dev == 0, "pad measurements to a multiple of mesh size"
+
+    pb = _make_prior_blocks(scene, priors, cfg) if priors is not None else None
+    pb_spec = None if pb is None else tuple(P() for _ in pb)
+    step = _meas_core_factory(mesh, cfg, pb is not None)
+    meas_spec = SceneData(
+        wRi=P(), wti=P(), cal=P(), camera_mask=P(),
+        points=P(), track_mask=P(),
+        meas_cam=P(axis), meas_track=P(axis), meas_uv=P(axis), meas_mask=P(axis),
+    )
     in_specs = (meas_spec, P(), pb_spec)
     args = multihost.shard_inputs(
         mesh, in_specs, (scene, jnp.asarray([lam], scene.meas_uv.dtype), pb)
@@ -635,10 +686,102 @@ def distributed_ba_gn_step(
     dc, dp = multihost.gather_outputs(mesh, (P(), P()), step(*args))
     if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
         dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
-    R, t, cal = ba._apply_camera_delta(scene.wRi, scene.wti, scene.cal, dc)
-    import dataclasses
-
+    delta_fn = (ba._apply_camera_delta_fisheye if scene.cal.shape[-1] == 9
+                else ba._apply_camera_delta)
+    R, t, cal = delta_fn(scene.wRi, scene.wti, scene.cal, dc)
     return dataclasses.replace(scene, wRi=R, wti=t, cal=cal, points=scene.points + dp)
+
+
+# ---------------------------------------------------------------------------
+# Full distributed LM loop + multi-stage filtering
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _cost_fn(huber_k: float, robust: bool):
+    return jax.jit(lambda s: ba.robust_cost(s, huber_k, robust))
+
+
+def distributed_lm_optimize(
+    mesh: Mesh,
+    scene: SceneData,
+    cfg: ba.BAConfig = ba.BAConfig(),
+    band_plan: "ba.BandPlan | None" = None,
+    priors: "ba.RelativePosePriors | None" = None,
+) -> tuple[SceneData, dict]:
+    """Full distributed LM loop with host-side damping/acceptance — the
+    distributed analog of bundle/ba.lm_optimize for problems exceeding one
+    chip. Cost evaluation is replicated (cameras/points are small).
+
+    With cfg.band + band_plan set, each iteration is the BANDED row-sharded
+    step (one psum of window blocks — the large-scene production layout);
+    with cfg.bucket_l alone, the track-sharded bucketed step (one psum of the
+    dense reduction); otherwise the measurement-sharded psum-Schur PCG.
+
+    The layout prologue (sort / regroup / bucket / pad) runs ONCE here;
+    every iteration re-dispatches one cached compiled step executable.
+
+    Returns (optimized scene, stats dict).
+    """
+    lam = cfg.lambda_init
+    n_dev = mesh.devices.size
+    cost_of = _cost_fn(cfg.huber_k, cfg.robust)
+
+    # One-time layout prologue for the chosen step kind.
+    band_state = None
+    track_state = None
+    if cfg.band is not None:
+        assert band_plan is not None, "cfg.band requires band_plan"
+        sc_work, bucket, pad_rows = _banded_prologue(
+            scene, cfg.bucket_l, cfg.band, band_plan, n_dev
+        )
+        band_state = (bucket, pad_rows)
+    elif cfg.bucket_l is not None:
+        sc_work, bucket = _tracksharded_prologue(scene, cfg.bucket_l)
+        track_state = bucket
+    else:
+        sc_work = scene
+
+    def total_cost(s):
+        c = float(cost_of(s))
+        if priors is not None:
+            c += float(ba.prior_cost(s, priors))
+        return c
+
+    cost = total_cost(sc_work)
+    cost0 = cost
+    accepted = 0
+    for it in range(cfg.max_iterations):
+        # Between factors relinearize at the CURRENT camera state each
+        # iteration (like the reprojection blocks).
+        pb = _make_prior_blocks(sc_work, priors, cfg) if priors is not None else None
+        if band_state is not None:
+            cand = _banded_apply(
+                mesh, sc_work, band_state[0], band_state[1], cfg.band, lam, cfg, pb
+            )
+        elif track_state is not None:
+            cand = _tracksharded_apply(mesh, sc_work, track_state, lam, cfg, pb)
+        else:
+            cand = distributed_ba_gn_step(mesh, sc_work, lam=lam, cfg=cfg, priors=priors)
+        new_cost = total_cost(cand)
+        if new_cost < cost:
+            sc_work = cand
+            rel = (cost - new_cost) / max(cost, 1e-12)
+            cost = new_cost
+            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
+            accepted += 1
+            if rel < 1e-6:
+                break
+        else:
+            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
+            if lam >= cfg.lambda_max:
+                break
+    if band_state is not None:
+        sc_work = _banded_ungroup(sc_work, band_plan)
+    return sc_work, {
+        "initial_cost": cost0, "final_cost": cost,
+        "iterations": it + 1, "accepted": accepted,
+    }
 
 
 def run_ba_with_filtering_distributed(
@@ -659,8 +802,6 @@ def run_ba_with_filtering_distributed(
     the mesh size is guaranteed by SceneData's 256-granular buckets for any
     mesh up to 256 devices.
     """
-    import dataclasses as _dc
-
     n_dev = mesh.devices.size
     stats = []
     for k, thresh in enumerate(reproj_thresholds_px):
@@ -678,7 +819,7 @@ def run_ba_with_filtering_distributed(
             # Track-sharded layout needs T % n_dev == 0; grow the track pad.
             T_new = ((scene.num_tracks_padded + n_dev - 1) // n_dev) * n_dev
             pad = T_new - scene.num_tracks_padded
-            scene = _dc.replace(
+            scene = dataclasses.replace(
                 scene,
                 points=jnp.pad(scene.points, ((0, pad), (0, 0))),
                 track_mask=jnp.pad(scene.track_mask, (0, pad)),

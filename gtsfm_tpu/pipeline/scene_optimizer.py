@@ -212,23 +212,26 @@ class SceneOptimizer:
             hit = cache.load(key)
             if hit is not None:
                 f = sift.SiftFeatures(
-                    uv=jnp.asarray(hit["uv"]),
-                    scale=jnp.asarray(hit["scale"]),
-                    response=jnp.asarray(hit["response"]),
-                    descriptor=jnp.asarray(hit["descriptor"]), mask=jnp.asarray(hit["mask"]),
+                    uv=hit["uv"], scale=hit["scale"], response=hit["response"],
+                    descriptor=hit["descriptor"], mask=hit["mask"],
                 )
             else:
                 raw = detect(gray)
+                # Host-side numpy copies: downstream per-pair stacking then
+                # costs zero device round-trips (a 2000-pair scene otherwise
+                # issues thousands of tiny device ops — latency-bound through
+                # a remote-TPU tunnel).
                 f = sift.SiftFeatures(
-                    uv=raw.uv, scale=getattr(raw, "scale", jnp.zeros_like(raw.response)),
-                    response=raw.response, descriptor=raw.descriptor, mask=raw.mask,
+                    uv=np.asarray(raw.uv),
+                    scale=np.asarray(getattr(raw, "scale", jnp.zeros_like(raw.response))),
+                    response=np.asarray(raw.response),
+                    descriptor=np.asarray(raw.descriptor), mask=np.asarray(raw.mask),
                 )
                 cache.save(
                     key,
                     dict(
-                        uv=np.asarray(f.uv), scale=np.asarray(f.scale),
-                        response=np.asarray(f.response),
-                        descriptor=np.asarray(f.descriptor), mask=np.asarray(f.mask),
+                        uv=f.uv, scale=f.scale, response=f.response,
+                        descriptor=f.descriptor, mask=f.mask,
                     ),
                 )
             feats.append(f)
@@ -414,12 +417,13 @@ class SceneOptimizer:
         if precomputed is not None:
             x1, x2, cm, idx = precomputed
         else:
-            d1 = jnp.stack([feats[a].descriptor for a, b in pairs])
-            d2 = jnp.stack([feats[b].descriptor for a, b in pairs])
-            m1 = jnp.stack([feats[a].mask for a, b in pairs])
-            m2 = jnp.stack([feats[b].mask for a, b in pairs])
-            k1 = jnp.stack([feats[a].uv for a, b in pairs])
-            k2 = jnp.stack([feats[b].uv for a, b in pairs])
+            npst = lambda xs: jnp.asarray(np.stack([np.asarray(x) for x in xs]))
+            d1 = npst([feats[a].descriptor for a, b in pairs])
+            d2 = npst([feats[b].descriptor for a, b in pairs])
+            m1 = npst([feats[a].mask for a, b in pairs])
+            m2 = npst([feats[b].mask for a, b in pairs])
+            k1 = npst([feats[a].uv for a, b in pairs])
+            k2 = npst([feats[b].uv for a, b in pairs])
             if fe.matcher_type == "mutual_nn":
                 if fe.feature_type in ("orb", "brisk"):
                     # Binary descriptors -> Hamming matching (cv2 NORM_HAMMING
@@ -437,8 +441,10 @@ class SceneOptimizer:
                 raise ValueError(f"unknown matcher_type {fe.matcher_type}")
             x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
 
-        K1 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[a])) for a, b in pairs])
-        K2 = jnp.stack([cameras.K_from_bundler(jnp.asarray(cals[b])) for a, b in pairs])
+        cal_a = jnp.asarray(np.stack([np.asarray(cals[a]) for a, b in pairs]))
+        cal_b = jnp.asarray(np.stack([np.asarray(cals[b]) for a, b in pairs]))
+        K1 = jax.vmap(cameras.K_from_bundler)(cal_a)
+        K2 = jax.vmap(cameras.K_from_bundler)(cal_b)
         x1n = cameras.normalize_keypoints(K1[:, None], x1)
         x2n = cameras.normalize_keypoints(K2[:, None], x2)
         f_mean = jnp.asarray([(cals[a][0] + cals[b][0]) / 2.0 for a, b in pairs])
