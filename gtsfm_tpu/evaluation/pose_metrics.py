@@ -37,37 +37,48 @@ class TwoViewEstimationReport:
 def two_view_reports_from_results(
     pairs, res, num_matches, wRi_gt=None, wti_gt=None, gt_valid=None
 ) -> dict[tuple[int, int], TwoViewEstimationReport]:
-    """Build per-pair reports from the batched TwoViewResult (+GT if known)."""
+    """Build per-pair reports from the batched TwoViewResult (+GT if known).
+
+    All math is vectorized host-side numpy: one device->host transfer per
+    batched array, zero per-pair device dispatches (a 2000-pair scene through
+    a remote-TPU tunnel otherwise pays thousands of round-trips here).
+    """
+    num_inliers = np.asarray(res.num_inliers)
+    inlier_ratio = np.asarray(res.inlier_ratio)
+    i2Ri1_all = np.asarray(res.i2Ri1)
+    i2Ui1_all = np.asarray(res.i2Ui1)
+    have_gt = wRi_gt is not None and gt_valid is not None
+    if have_gt:
+        pa = np.asarray([p[0] for p in pairs], np.int64)
+        pb = np.asarray([p[1] for p in pairs], np.int64)
+        pair_gt = (np.asarray(gt_valid)[pa] > 0) & (np.asarray(gt_valid)[pb] > 0)
+        wRi_gt = np.asarray(wRi_gt)
+        wti_gt = np.asarray(wti_gt)
+        # i2Ri1 convention (a=i1, b=i2): aRb_gt = wRi_gt[b]^T wRi_gt[a].
+        aRb_gt = np.einsum("kji,kjl->kil", wRi_gt[pb], wRi_gt[pa])
+        # Rotation geodesic distance via the trace formula.
+        tr = np.einsum("kij,kij->k", i2Ri1_all, aRb_gt)
+        R_err = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        u_gt = np.einsum("kji,kj->ki", wRi_gt[pb], wti_gt[pa] - wti_gt[pb])
+        u_nrm = np.linalg.norm(u_gt, axis=-1)
+        u_ok = u_nrm > 1e-9
+        u_dir = u_gt / np.maximum(u_nrm, 1e-12)[:, None]
+        U_err = np.degrees(
+            np.arccos(
+                np.clip(np.abs(np.einsum("ki,ki->k", i2Ui1_all, u_dir)), -1.0, 1.0)
+            )
+        )
     reports = {}
     for k, (a, b) in enumerate(pairs):
         rep = TwoViewEstimationReport(
-            num_inliers_est_model=int(res.num_inliers[k]),
-            inlier_ratio_est_model=float(res.inlier_ratio[k]),
+            num_inliers_est_model=int(num_inliers[k]),
+            inlier_ratio_est_model=float(inlier_ratio[k]),
             num_matches=int(num_matches[k]),
         )
-        if (
-            wRi_gt is not None and gt_valid is not None
-            and gt_valid[a] > 0 and gt_valid[b] > 0
-        ):
-            aRb_gt = wRi_gt[b].T @ wRi_gt[a]  # i2Ri1 convention (a=i1, b=i2)
-            rep.R_error_deg = float(
-                jnp.degrees(
-                    lie.rotation_angular_distance(
-                        jnp.asarray(res.i2Ri1[k]), jnp.asarray(aRb_gt, jnp.float32)
-                    )
-                )
-            )
-            u_gt = wRi_gt[b].T @ (wti_gt[a] - wti_gt[b])
-            norm = np.linalg.norm(u_gt)
-            if norm > 1e-9:
-                u_gt = u_gt / norm
-                rep.U_error_deg = float(
-                    np.degrees(
-                        np.arccos(
-                            np.clip(abs(float(jnp.dot(res.i2Ui1[k], jnp.asarray(u_gt, jnp.float32)))), -1, 1)
-                        )
-                    )
-                )
+        if have_gt and pair_gt[k]:
+            rep.R_error_deg = float(R_err[k])
+            if u_ok[k]:
+                rep.U_error_deg = float(U_err[k])
         reports[(a, b)] = rep
     return reports
 
@@ -151,11 +162,6 @@ def add_gt_correspondence_metrics(
     epipolar_inlier_correspondences), surfaced per pair in the
     TwoViewEstimationReport like the reference's frontend summaries.
     """
-    import jax.numpy as jnp
-
-    from gtsfm_tpu.geometry import cameras as cam_mod
-    from gtsfm_tpu.geometry import epipolar
-
     mi = np.asarray(match_idx)
     for k, (a, b) in enumerate(pairs):
         rep = reports.get((a, b))
@@ -184,20 +190,22 @@ def add_gt_correspondence_metrics(
         nrm = np.linalg.norm(bta)
         if nrm < 1e-9:
             continue  # zero-baseline GT: epipolar geometry undefined
+        # Pure host numpy (matching geometry/epipolar.py formulas): zero
+        # device dispatches in this per-pair loop.
+        t = bta / nrm
         E = np.asarray(
-            epipolar.essential_from_pose(
-                jnp.asarray(bRa, jnp.float32), jnp.asarray(bta / nrm, jnp.float32)
-            )
-        )
-        K1 = np.asarray(cam_mod.K_from_bundler(jnp.asarray(cals[a])))
-        K2 = np.asarray(cam_mod.K_from_bundler(jnp.asarray(cals[b])))
+            [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]]
+        ) @ bRa
+        K1 = np.asarray([[cals[a][0], 0, cals[a][3]], [0, cals[a][0], cals[a][4]], [0, 0, 1]])
+        K2 = np.asarray([[cals[b][0], 0, cals[b][3]], [0, cals[b][0], cals[b][4]], [0, 0, 1]])
         F = np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
-        d2 = np.asarray(
-            epipolar.sampson_distance_sq(
-                jnp.asarray(F, jnp.float32), jnp.asarray(uv1, jnp.float32),
-                jnp.asarray(uv2, jnp.float32),
-            )
-        )
+        p1 = np.concatenate([uv1, np.ones((uv1.shape[0], 1))], -1)
+        p2 = np.concatenate([uv2, np.ones((uv2.shape[0], 1))], -1)
+        Fp1 = p1 @ F.T
+        Ftp2 = p2 @ F
+        num = np.einsum("ni,ni->n", p2, Fp1) ** 2
+        den = Fp1[:, 0] ** 2 + Fp1[:, 1] ** 2 + Ftp2[:, 0] ** 2 + Ftp2[:, 1] ** 2
+        d2 = num / np.maximum(den, 1e-12)
         is_inl = d2 < dist_threshold_px**2
         rep.num_inliers_gt_model = int(is_inl.sum())
         rep.inlier_ratio_gt_model = float(is_inl.mean())

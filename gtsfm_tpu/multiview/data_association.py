@@ -43,7 +43,10 @@ class TriangulationResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("reproj_thresh_px", "min_tri_angle_deg", "use_ransac")
+    jax.jit,
+    static_argnames=(
+        "reproj_thresh_px", "min_tri_angle_deg", "use_ransac", "max_hypotheses"
+    ),
 )
 def triangulate_tracks_robust(
     wRi: jnp.ndarray,  # (N, 3, 3) global camera rotations
@@ -55,6 +58,11 @@ def triangulate_tracks_robust(
     reproj_thresh_px: float = 10.0,  # reference deep_front_end.yaml:84
     min_tri_angle_deg: float = 1.0,
     use_ransac: bool = True,
+    max_hypotheses: int = 128,  # reference caps RANSAC hypotheses (DA config
+    # <=100, point3d_initializer.py:102-114 formula cap ~2749); exhaustive
+    # pair enumeration is used only while C(L,2) fits under this cap —
+    # long tracks (large scenes) would otherwise build a (T*C(L,2), L, 3, 4)
+    # hypothesis tensor that overflows device memory.
 ) -> TriangulationResult:
     T, L = cam_idx.shape
     K = jax.vmap(cameras.K_from_bundler)(cal)
@@ -69,8 +77,8 @@ def triangulate_tracks_robust(
         pred, depth = cameras.project_bundler(wRi_t, wti_t, cal_t, X[:, None, :])
         return jnp.linalg.norm(pred - uv, axis=-1), depth
 
-    if use_ransac:
-        # Enumerate all measurement pairs (i < j < L), masked.
+    if use_ransac and (L * (L - 1)) // 2 <= max_hypotheses:
+        # Small tracks: enumerate all measurement pairs (i < j < L), masked.
         ii, jj = np.triu_indices(L, k=1)
         ii = jnp.asarray(ii)
         jj = jnp.asarray(jj)  # (H,)
@@ -99,6 +107,63 @@ def triangulate_tracks_robust(
         best_inl = jnp.take_along_axis(
             inl_h, best[:, None, None], axis=1
         )[:, 0].astype(uv.dtype)  # (T, L)
+        best_count = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+        tri_mask = best_inl
+    elif use_ransac:
+        # Long tracks: per-track uniform sampling of measurement pairs
+        # (RANSAC_SAMPLE_UNIFORM, reference point3d_initializer.py:143),
+        # exploiting that measurements are slot-packed (slots [0, n_t)).
+        C = 16  # hypotheses scored per chunk
+        K2 = ((max_hypotheses + C - 1) // C) * C
+        n_t = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (T,)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (T, K2, 2))
+        na = jnp.maximum(n_t, 1)[:, None]
+        a = jnp.minimum((u[..., 0] * na).astype(jnp.int32), na - 1)  # (T, K2)
+        nb = jnp.maximum(n_t - 1, 1)[:, None]
+        b = jnp.minimum((u[..., 1] * nb).astype(jnp.int32), nb - 1)
+        b = b + (b >= a)  # skip the diagonal -> b in [0, n_t) \ {a}
+        b = jnp.minimum(b, jnp.maximum(n_t[:, None] - 1, 0))
+        pair_valid = ((n_t >= 2)[:, None] & (a != b)).astype(uv.dtype)
+
+        def take2(arr, idx):
+            """arr (T, L, ...) gathered at idx (T, K2) -> (T, K2, ...)."""
+            ix = idx.reshape(idx.shape + (1,) * (arr.ndim - 2))
+            return jnp.take_along_axis(arr, ix, axis=1)
+
+        P_pair = jnp.stack([take2(P_t, a), take2(P_t, b)], axis=2)  # (T,K2,2,3,4)
+        uv_pair = jnp.stack([take2(uv, a), take2(uv, b)], axis=2)  # (T,K2,2,2)
+        X_hyp = triangulation.triangulate_tracks_dlt(
+            P_pair.reshape(T * K2, 2, 3, 4), uv_pair.reshape(T * K2, 2, 2),
+            jnp.ones((T * K2, 2), uv.dtype),
+        ).reshape(T, K2, 3)
+
+        # Score hypotheses against all measurements in chunks: one shot would
+        # materialize (T, K2, L, 2) activations — chunking keeps the scoring
+        # tensor ~L/chunk smaller with identical results.
+        G = K2 // C
+        Xg = X_hyp.reshape(T, G, C, 3).transpose(1, 0, 2, 3)  # (G, T, C, 3)
+
+        def score(Xc):  # (T, C, 3) -> (T, C) inlier counts
+            pred_c, depth_c = cameras.project_bundler(
+                wRi_t[:, None], wti_t[:, None], cal_t[:, None], Xc[:, :, None, :]
+            )
+            err_c = jnp.linalg.norm(pred_c - uv[:, None], axis=-1)
+            inl_c = (
+                (err_c < reproj_thresh_px) & (depth_c > 0) & (mask[:, None, :] > 0)
+            )
+            return jnp.sum(inl_c, axis=-1)
+
+        counts = jax.lax.map(score, Xg).transpose(1, 0, 2).reshape(T, K2)
+        counts = counts * pair_valid.astype(counts.dtype)
+        best = jnp.argmax(counts, axis=-1)  # (T,)
+        X_best = jnp.take_along_axis(X_hyp, best[:, None, None], axis=1)[:, 0]
+        pred_b, depth_b = cameras.project_bundler(
+            wRi_t, wti_t, cal_t, X_best[:, None, :]
+        )
+        err_b = jnp.linalg.norm(pred_b - uv, axis=-1)
+        best_inl = (
+            (err_b < reproj_thresh_px) & (depth_b > 0) & (mask > 0)
+        ).astype(uv.dtype)
         best_count = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
         tri_mask = best_inl
     else:

@@ -63,9 +63,8 @@ def filter_cycle_consistent_edges(
 
     agg = np.full(E, np.inf)
     if aggregation == "min":
-        for t in range(triplets.shape[0]):
-            for k in (e01[t], e12[t], e02[t]):
-                agg[k] = min(agg[k], err[t])
+        for ek in (e01, e12, e02):
+            np.minimum.at(agg, ek, err)
     else:  # median
         per_edge: dict[int, list[float]] = {}
         for t in range(triplets.shape[0]):

@@ -26,6 +26,9 @@ class FrontendConfig:
     d2net_checkpoint: str | None = None
     disk_checkpoint: str | None = None
     allow_random_weights: bool = False
+    # Images per detection dispatch (vmapped over a shape-uniform chunk). >1
+    # amortizes device round-trip latency; 1 restores per-image dispatch.
+    detect_batch: int = 8
     # LightGlue adaptivity (upstream defaults 0.95 / 0.99; None disables and
     # runs the full static-depth batched program, usually fastest on TPU).
     lightglue_depth_confidence: float | None = None

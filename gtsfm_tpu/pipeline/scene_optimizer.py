@@ -205,6 +205,13 @@ class SceneOptimizer:
         detect = self._make_detector()
         feats, cals, sizes = [], [], []
         tag = f"{cfg.feature_type}-{cfg.max_keypoints}-{self.config.max_resolution}"
+        # Pass 1 (host): load + grayscale + cache probe. Misses are grouped by
+        # image shape so pass 2 can run ONE vmapped program per chunk of B
+        # images instead of one dispatch per image — a 200-image scene costs
+        # ~13 device round-trips rather than 200 (the reference fans out one
+        # Dask task per image, det_desc_correspondence_generator.py:68; here
+        # the batch axis is the parallelism).
+        grays, misses = [], {}
         for i in range(len(loader)):
             img, cal = loader.get_image(i)
             gray = to_grayscale(img.value_array)
@@ -216,27 +223,49 @@ class SceneOptimizer:
                     descriptor=hit["descriptor"], mask=hit["mask"],
                 )
             else:
-                raw = detect(gray)
+                f = None
+                misses.setdefault(gray.shape, []).append(i)
+            grays.append((gray, key))
+            feats.append(f)
+            cals.append(cal)
+            sizes.append((img.width, img.height))
+        # Pass 2 (device): batched detection over shape-uniform chunks.
+        B = max(1, int(cfg.detect_batch))
+        batched = jax.jit(jax.vmap(detect)) if B > 1 else None
+        for shape, idxs in misses.items():
+            for s in range(0, len(idxs), B):
+                chunk = idxs[s : s + B]
+                if B > 1:
+                    stack = np.stack([grays[i][0] for i in chunk])
+                    if len(chunk) < B:  # pad to the compiled batch shape
+                        pad = np.repeat(stack[:1], B - len(chunk), axis=0)
+                        stack = np.concatenate([stack, pad], axis=0)
+                    raw = batched(stack)
+                    raws = [jax.tree.map(lambda a, k=k: a[k], raw)
+                            for k in range(len(chunk))]
+                else:
+                    raws = [detect(grays[i][0]) for i in chunk]
                 # Host-side numpy copies: downstream per-pair stacking then
                 # costs zero device round-trips (a 2000-pair scene otherwise
                 # issues thousands of tiny device ops — latency-bound through
                 # a remote-TPU tunnel).
-                f = sift.SiftFeatures(
-                    uv=np.asarray(raw.uv),
-                    scale=np.asarray(getattr(raw, "scale", jnp.zeros_like(raw.response))),
-                    response=np.asarray(raw.response),
-                    descriptor=np.asarray(raw.descriptor), mask=np.asarray(raw.mask),
-                )
-                cache.save(
-                    key,
-                    dict(
-                        uv=f.uv, scale=f.scale, response=f.response,
-                        descriptor=f.descriptor, mask=f.mask,
-                    ),
-                )
-            feats.append(f)
-            cals.append(cal)
-            sizes.append((img.width, img.height))
+                raws = jax.device_get(raws)
+                for i, raw in zip(chunk, raws):
+                    f = sift.SiftFeatures(
+                        uv=np.asarray(raw.uv),
+                        scale=np.asarray(getattr(raw, "scale",
+                                                 np.zeros_like(raw.response))),
+                        response=np.asarray(raw.response),
+                        descriptor=np.asarray(raw.descriptor),
+                        mask=np.asarray(raw.mask),
+                    )
+                    cache.save(
+                        grays[i][1],
+                        dict(uv=f.uv, scale=f.scale, response=f.response,
+                             descriptor=f.descriptor, mask=f.mask),
+                    )
+                    feats[i] = f
+            logger.info("features: %d images at shape %s done", len(idxs), shape)
         return feats, np.stack(cals), sizes
 
     def _deep_match(self, feats, pairs, d1, d2, k1, k2, m1, m2):
@@ -747,6 +776,7 @@ class SceneOptimizer:
         i2Ri1 = np.asarray(res.i2Ri1)[ok]
         i2Ui1 = np.asarray(res.i2Ui1)[ok]
 
+        logger.info("view-graph cycle filtering: %d edges", len(edges))
         keep, vg_info = viewgraph.filter_cycle_consistent_edges(
             edges, i2Ri1, cfg.multi_view.cycle_error_threshold_deg
         )
@@ -842,6 +872,7 @@ class SceneOptimizer:
                     g.add(f"outlier_{name}_angular_errors_deg",
                           np.asarray(live_out, np.float64))
 
+        logger.info("rotation averaging: %d cams, %d edges", n, len(edges))
         wRi_est, ra_info = ra.run_rotation_averaging(n, edges, i2Ri1)
         g = MetricsGroup("rotation_averaging_metrics")
         for k, v in ra_info.items():
@@ -916,6 +947,7 @@ class SceneOptimizer:
                 **ta_kwargs,
             )
         else:
+            logger.info("translation averaging: %d edges, %d tracks", len(edges), T_n)
             res_t = ta.run_translation_averaging(n, edges, i2Ui1, wRi_est, **ta_kwargs)
         wti_est = res_t.wti.astype(np.float32)
         g = MetricsGroup("translation_averaging_metrics")
@@ -934,6 +966,7 @@ class SceneOptimizer:
         cam_idx = np.pad(tr_cam, ((0, pad_rows), (0, 0))).astype(np.int32)
         uv_t = np.pad(tr_uv, ((0, pad_rows), (0, 0), (0, 0)))
         mask_t = np.pad(tr_mask, ((0, pad_rows), (0, 0)))
+        logger.info("triangulating %d tracks (padded %d)", T_n, T_pad)
         tri = data_association.triangulate_tracks_robust(
             jnp.asarray(np.asarray(wRi_est)), jnp.asarray(wti_est), jnp.asarray(cals),
             jnp.asarray(cam_idx), jnp.asarray(uv_t), jnp.asarray(mask_t),
@@ -976,6 +1009,11 @@ class SceneOptimizer:
                 )
                 logger.info("BA with %d relative-pose priors", len(ea))
         n_dev_ba = jax.device_count()
+        logger.info(
+            "global BA: %d cams, %d tracks, %d meas",
+            int(np.asarray(sc.camera_mask).sum()), sc.num_tracks(),
+            int(np.asarray(sc.meas_mask).sum()),
+        )
         use_dist_ba = cfg.multi_view.distributed_ba == "on" or (
             cfg.multi_view.distributed_ba == "auto" and n_dev_ba > 1
         )

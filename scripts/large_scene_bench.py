@@ -13,11 +13,16 @@ Prints per-stage durations, pose errors, and end-to-end frames/s.
 
 import argparse
 import json
+import logging
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(name)s %(message)s", stream=sys.stdout
+)
 
 
 def main():

@@ -70,3 +70,25 @@ def test_no_ransac_mode_matches_on_clean_data(rng):
     r1 = da.triangulate_tracks_robust(wRi, wti, cal, cam_idx, uv, mask, use_ransac=True)
     r2 = da.triangulate_tracks_robust(wRi, wti, cal, cam_idx, uv, mask, use_ransac=False)
     np.testing.assert_allclose(np.asarray(r1.points), np.asarray(r2.points), atol=0.02)
+
+
+def test_sampled_hypotheses_long_tracks(rng):
+    """C(L,2) > max_hypotheses triggers the per-track sampled-pair path
+    (reference RANSAC_SAMPLE_UNIFORM, point3d_initializer.py:143): outliers
+    still rejected, clean tracks still accurate, partial tracks respected."""
+    n_cams, n_tracks = 24, 12  # C(24,2)=276 > 64
+    wRi, wti, cal, cam_idx, uv, mask, X = unpack_scene(
+        rng, n_cams=n_cams, n_tracks=n_tracks, noise=0.2
+    )
+    uv = np.asarray(uv).copy()
+    uv[:, 3] += 80.0  # slot-3 measurement corrupted on every track
+    mask = np.asarray(mask).copy()
+    mask[0, 10:] = 0.0  # track 0 is partial (slot-packed 10 measurements)
+    res = da.triangulate_tracks_robust(
+        wRi, wti, cal, cam_idx, jnp.asarray(uv), jnp.asarray(mask),
+        max_hypotheses=64,
+    )
+    codes = np.asarray(res.exit_codes)
+    assert np.all(codes == da.TriangulationExitCode.SUCCESS)
+    assert np.asarray(res.inlier_mask)[:, 3].mean() < 0.1
+    np.testing.assert_allclose(np.asarray(res.points), X, atol=0.05)
