@@ -75,9 +75,11 @@ def two_view_reports_from_results(
             inlier_ratio_est_model=float(inlier_ratio[k]),
             num_matches=int(num_matches[k]),
         )
-        if have_gt and pair_gt[k]:
+        if have_gt and pair_gt[k] and np.isfinite(R_err[k]):
+            # Non-finite relative pose (verification failed for the pair)
+            # keeps errors at None, like the reference's None-model reports.
             rep.R_error_deg = float(R_err[k])
-            if u_ok[k]:
+            if u_ok[k] and np.isfinite(U_err[k]):
                 rep.U_error_deg = float(U_err[k])
         reports[(a, b)] = rep
     return reports

@@ -43,8 +43,13 @@ class SyntheticAerialLoader(LoaderBase):
         width: int = 512,
         rows: int = 8,
         altitude: float = 10.0,
-        terrain_relief: float = 1.5,
-        focal: float = 500.0,
+        terrain_relief: float = 3.5,  # ~35% of altitude: enough parallax that
+        # pairs never approach the planar-scene E-matrix degeneracy (a flat
+        # nadir survey is homography-ambiguous and breaks two-view geometry)
+        # ~68 deg HFOV: wide-angle survey optics; narrow FOV + low relief is
+        # the bas-relief-ambiguous regime where two-view E decomposition and
+        # global BA both go soft.
+        focal: float = 380.0,
         seed: int = 0,
         max_resolution: int = 760,
     ):
@@ -56,7 +61,7 @@ class SyntheticAerialLoader(LoaderBase):
 
         # Terrain field over [0, S] x [0, S] world units (S set below).
         self._grid_n = 512
-        self._terrain = _smooth_grid(rng, self._grid_n, 12.0) * terrain_relief
+        self._terrain = _smooth_grid(rng, self._grid_n, 24.0)  # scaled below
         self._tex_rng = rng
 
         # Serpentine path with survey-style overlap: ~75% along-track
@@ -77,32 +82,45 @@ class SyntheticAerialLoader(LoaderBase):
                 if len(centers) >= self._n:
                     break
                 c = np.asarray(
-                    [x, ys[r], altitude + rng.normal() * 0.1], np.float32
+                    [x, ys[r], altitude + rng.normal() * 0.8], np.float32
                 )
-                # Near-nadir: camera +z looks DOWN (world -z) with small tilt.
-                ax = rng.normal(size=3) * 0.03
+                # Near-nadir: camera +z looks DOWN (world -z) with a modest
+                # tilt (oblique-survey style; adds rotation signal for the
+                # averaging stages and further separates E from H).
+                ax = rng.normal(size=3) * 0.12
                 Rt = _small_rotation(ax) @ np.diag([1.0, -1.0, -1.0]).astype(np.float32)
                 centers.append(c)
                 rots.append(Rt.astype(np.float32))
         self._wti = np.stack(centers)
         self._wRi = np.stack(rots)
 
-        # Multi-octave albedo texture, band-limited IN PIXELS regardless of
-        # world size: octave k samples an independent smooth 512-grid at
-        # frequency 2^k (wrap). The octave count is chosen so the finest
-        # octave has ~3 px features at the render resolution — keypoint
-        # density then stays constant as the survey area (world_size) grows
-        # with the image count. Aliased or too-smooth texture collapses SIFT
-        # keypoint counts and with them the whole pair graph.
+        # Scale the height field AFTER world_size is known: terrain features
+        # span ~10% of world_size (sigma-24/512 smoothing), so capping relief
+        # at 15% of world_size bounds terrain slope ~< 0.7 — the ray-marching
+        # fixed point stays contractive for every pixel ray.
+        self._terrain = self._terrain * min(
+            terrain_relief, 0.15 * self._world_size
+        )
+
+        # Multi-octave albedo texture from hash-lattice value noise: octave k
+        # blends hashed lattice values at frequency base*2^k. Crucially the
+        # lattice hash is aperiodic over the whole survey area — a wrap-tiled
+        # texture (earlier design) repeats every world_size/2^k units, and
+        # SIFT then matches DIFFERENT repeats of the same pattern between
+        # distant images: those false matches are mutually consistent (a
+        # translated copy of the texture), so RANSAC finds a confident wrong
+        # model and the pair graph fills with poisoned edges. The octave
+        # count is chosen so the finest octave has ~3 px features at the
+        # render resolution — keypoint density then stays constant as the
+        # survey area grows with the image count.
         px_world = altitude / self._f  # world units per pixel at nadir
-        feat_world_base = self._world_size * (8.0 / 512.0)  # octave-0 feature
-        n_oct = max(
+        self._tex_base_freq = 1.0 / (self._world_size * (8.0 / 512.0))
+        feat_world_base = 1.0 / self._tex_base_freq  # octave-0 feature size
+        self._tex_n_oct = max(
             2,
             int(np.ceil(np.log2(max(feat_world_base / (3.0 * px_world), 2.0)))) + 1,
         )
-        self._tex_octaves = [
-            _smooth_grid(self._tex_rng, 512, 8.0) for _ in range(n_oct)
-        ]
+        self._tex_salt = int(rng.integers(1, 2**31))
         self._cache: dict[int, Image] = {}
 
     # ------------------------------------------------------------ LoaderBase
@@ -153,7 +171,7 @@ class SyntheticAerialLoader(LoaderBase):
         # Fixed-point iteration on the ray/terrain intersection: t s.t.
         # c_z + t dz = h(c_xy + t d_xy). Contraction because |grad h| << |dz|.
         t = (0.0 - c[2]) / dz
-        for _ in range(6):
+        for _ in range(12):
             px = c[0] + t * d_world[..., 0]
             py = c[1] + t * d_world[..., 1]
             hh = self._field(self._terrain, px, py)
@@ -161,8 +179,10 @@ class SyntheticAerialLoader(LoaderBase):
         px = c[0] + t * d_world[..., 0]
         py = c[1] + t * d_world[..., 1]
         albedo = np.zeros_like(px, dtype=np.float32)
-        for k, g in enumerate(self._tex_octaves):
-            albedo += 0.9**k * self._field(g, px * (2.0**k), py * (2.0**k))
+        for k in range(self._tex_n_oct):
+            freq = self._tex_base_freq * (2.0**k)
+            albedo += 0.9**k * _value_noise(px * freq, py * freq,
+                                            self._tex_salt + k)
         # Contrast-normalize the octave mix: averaging independent fields
         # shrinks the dynamic range and SIFT's contrast threshold would
         # reject everything.
@@ -176,6 +196,36 @@ class SyntheticAerialLoader(LoaderBase):
         img = Image(value_array=img8)
         self._cache[index] = img
         return img
+
+
+def _hash01(ix: np.ndarray, iy: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic aperiodic hash of integer lattice coords -> [0, 1)."""
+    h = (ix * np.int64(73856093)) ^ (iy * np.int64(19349663)) ^ np.int64(salt)
+    h = (h ^ (h >> 13)) * np.int64(0x5BD1E995)
+    h = h ^ (h >> 15)
+    return ((h & np.int64(0xFFFFFF)).astype(np.float32)) / np.float32(0x1000000)
+
+
+def _value_noise(x: np.ndarray, y: np.ndarray, salt: int) -> np.ndarray:
+    """Smooth aperiodic value noise: hashed lattice + smoothstep bilinear."""
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = (x - x0).astype(np.float32)
+    fy = (y - y0).astype(np.float32)
+    fx = fx * fx * (3.0 - 2.0 * fx)  # smoothstep: C1 across cell borders
+    fy = fy * fy * (3.0 - 2.0 * fy)
+    ix = x0.astype(np.int64)
+    iy = y0.astype(np.int64)
+    v00 = _hash01(ix, iy, salt)
+    v10 = _hash01(ix + 1, iy, salt)
+    v01 = _hash01(ix, iy + 1, salt)
+    v11 = _hash01(ix + 1, iy + 1, salt)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v10 * fx * (1 - fy)
+        + v01 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
 
 
 def _small_rotation(axis_angle: np.ndarray) -> np.ndarray:

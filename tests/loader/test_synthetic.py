@@ -1,0 +1,88 @@
+"""SyntheticAerialLoader self-consistency: rendered images must agree with
+the GT poses (the loader is the repo's >=100-image benchmark stand-in —
+reference benchmark.yml:12-28 — so a geometry/texture bug here silently
+invalidates the scale proof; round-2 regression: wrap-tiled texture produced
+self-consistent false matches between distant frames)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def loader():
+    from gtsfm_tpu.loader.synthetic import SyntheticAerialLoader
+
+    return SyntheticAerialLoader(
+        num_images=8, rows=2, height=192, width=256, max_resolution=256
+    )
+
+
+def test_determinism(loader):
+    from gtsfm_tpu.loader.synthetic import SyntheticAerialLoader
+
+    l2 = SyntheticAerialLoader(
+        num_images=8, rows=2, height=192, width=256, max_resolution=256
+    )
+    np.testing.assert_array_equal(
+        loader.get_image_full_res(3).value_array, l2.get_image_full_res(3).value_array
+    )
+    np.testing.assert_array_equal(loader.get_all_poses()[0], l2.get_all_poses()[0])
+
+
+def test_sift_matches_consistent_with_gt_epipolar(loader):
+    """SIFT matches on an adjacent rendered pair satisfy the GT epipolar
+    geometry (the decisive render<->pose consistency check)."""
+    import jax
+
+    from gtsfm_tpu.common.image import to_grayscale
+    from gtsfm_tpu.frontend import sift
+    from gtsfm_tpu.ops import matching
+
+    a, b = 1, 2
+    f1 = sift.detect_and_describe(
+        jnp.asarray(to_grayscale(loader.get_image(a)[0].value_array)),
+        max_keypoints=512,
+    )
+    f2 = sift.detect_and_describe(
+        jnp.asarray(to_grayscale(loader.get_image(b)[0].value_array)),
+        max_keypoints=512,
+    )
+    midx, _ = matching.mutual_nearest_matching(
+        f1.descriptor[None], f2.descriptor[None], f1.mask[None], f2.mask[None],
+        ratio_test=0.8,
+    )
+    midx = np.asarray(midx[0])
+    ia = np.nonzero(midx >= 0)[0]
+    ib = midx[ia]
+    assert ia.size > 50, f"too few matches ({ia.size}) on an adjacent pair"
+    cal = loader.get_image(a)[1]
+    fpx, cx, cy = cal[0], cal[3], cal[4]
+    n1 = (np.asarray(f1.uv)[ia] - [cx, cy]) / fpx
+    n2 = (np.asarray(f2.uv)[ib] - [cx, cy]) / fpx
+    wRi, wti, _ = loader.get_all_poses()
+    bRa = wRi[b].T @ wRi[a]
+    bta = wRi[b].T @ (wti[a] - wti[b])
+    U = bta / np.linalg.norm(bta)
+    E = np.asarray([[0, -U[2], U[1]], [U[2], 0, -U[0]], [-U[1], U[0], 0]]) @ bRa
+    p1 = np.concatenate([n1, np.ones((len(n1), 1))], -1)
+    p2 = np.concatenate([n2, np.ones((len(n2), 1))], -1)
+    Ep1 = p1 @ E.T
+    Etp2 = p2 @ E
+    d_px = (
+        np.abs(np.einsum("ni,ni->n", p2, Ep1))
+        / np.sqrt(Ep1[:, 0] ** 2 + Ep1[:, 1] ** 2 + Etp2[:, 0] ** 2 + Etp2[:, 1] ** 2)
+        * fpx
+    )
+    assert np.median(d_px) < 0.5
+    assert (d_px < 4.0).mean() > 0.9
+
+
+def test_texture_aperiodic(loader):
+    """Distant same-row frames must NOT look alike (wrap-tiling regression):
+    normalized correlation between far-apart renders stays low."""
+    i1 = loader.get_image_full_res(0).value_array.astype(np.float32)
+    i2 = loader.get_image_full_res(3).value_array.astype(np.float32)
+    a = (i1 - i1.mean()) / i1.std()
+    b = (i2 - i2.mean()) / i2.std()
+    assert abs(float((a * b).mean())) < 0.2
