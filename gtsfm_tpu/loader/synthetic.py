@@ -93,6 +93,7 @@ class SyntheticAerialLoader(LoaderBase):
                 rots.append(Rt.astype(np.float32))
         self._wti = np.stack(centers)
         self._wRi = np.stack(rots)
+        self._foot = foot
 
         # Scale the height field AFTER world_size is known: terrain features
         # span ~10% of world_size (sigma-24/512 smoothing), so capping relief
@@ -135,6 +136,21 @@ class SyntheticAerialLoader(LoaderBase):
 
     def get_camera_pose(self, index: int):
         return self._wRi[index], self._wti[index]
+
+    def is_valid_pair(self, idx1: int, idx2: int) -> bool:
+        """Footprint-overlap pair gating (GPS-guided survey pairing; the
+        reference's structured analog is HiltiLoader.is_valid_pair /
+        SEQUENTIAL_HILTI — loader-driven pair selection where plain index
+        windows miss the real adjacency). A serpentine survey's cross-row
+        (sidelap) neighbors sit ~row-length apart in INDEX but one
+        half-footprint apart on the ground: an index-lookahead window alone
+        leaves the pair graph row-fragmented."""
+        if not super().is_valid_pair(idx1, idx2):
+            return False
+        if abs(idx2 - idx1) <= 3:  # along-track neighbors (>=25% overlap)
+            return True
+        d = float(np.linalg.norm(self._wti[idx1][:2] - self._wti[idx2][:2]))
+        return d <= 0.9 * self._foot
 
     def _field(self, grid: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Bilinear sample of a wrap-mode field over [0, world_size]^2."""

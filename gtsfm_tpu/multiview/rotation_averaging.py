@@ -42,14 +42,26 @@ def build_connection_laplacian(
     """
     n = num_nodes
     L = np.zeros((3 * n, 3 * n), np.float32)
+    deg = np.zeros(n, np.int64)
     for e in range(edges.shape[0]):
         a, b = int(edges[e, 0]), int(edges[e, 1])  # (i1, i2)
         R = np.asarray(i2Ri1[e], np.float32)  # wRi1 = wRi2 R
+        deg[a] += 1
+        deg[b] += 1
         L[3 * a : 3 * a + 3, 3 * a : 3 * a + 3] += np.eye(3, dtype=np.float32)
         L[3 * b : 3 * b + 3, 3 * b : 3 * b + 3] += np.eye(3, dtype=np.float32)
         # cross term: -2 tr(wRi1^T wRi2 R) -> blocks -R^T at (a, b), -R at (b, a)
         L[3 * a : 3 * a + 3, 3 * b : 3 * b + 3] += -R.T
         L[3 * b : 3 * b + 3, 3 * a : 3 * a + 3] += -R
+    # Identity-regularize edgeless nodes (cameras pruned out of the largest
+    # CC but still indexed): their all-zero rows otherwise contribute extra
+    # zero modes that the chordal init's 3-smallest-eigenvector subspace
+    # mixes into the real solution, wrecking the staircase's starting point.
+    # On the Stiefel manifold tr(Y_i Y_i^T) = 3 is CONSTANT, so adding I3 to
+    # an isolated diagonal block shifts the cost by a constant and changes
+    # no minimizer — it only moves the spurious eigenvalues from 0 to 1.
+    for i in np.nonzero(deg == 0)[0]:
+        L[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] = np.eye(3, dtype=np.float32)
     return jnp.asarray(L)
 
 

@@ -65,7 +65,11 @@ def main():
         enable_cache=False, max_resolution=args.max_resolution,
         output_root="/tmp/large_scene_out",
     )
-    cfg.retriever.regime = "sequential"
+    # Exhaustive candidates filtered by the loader's footprint-overlap
+    # is_valid_pair: a serpentine survey's cross-row neighbors are far apart
+    # in index, so a pure lookahead window would leave the graph
+    # row-fragmented (reference analog: SEQUENTIAL_HILTI loader-driven pairs).
+    cfg.retriever.regime = "exhaustive"
     cfg.retriever.max_frame_lookahead = args.lookahead
     cfg.frontend.max_keypoints = args.max_keypoints
 

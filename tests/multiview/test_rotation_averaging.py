@@ -63,3 +63,21 @@ def test_certificate_on_clean_data():
     # On exact measurements the certificate must pass (min eig ~ 0, not << 0).
     key = [k for k in info if k.startswith("certificate_min_eig")][0]
     assert info[key] > -1e-2
+
+
+def test_isolated_nodes_do_not_poison_averaging(rng):
+    """Cameras pruned out of the largest CC stay indexed but edgeless
+    (pipeline largest-CC pruning, reference multi_view_optimizer.py:123):
+    their zero Laplacian blocks must not contaminate the chordal init
+    (round-2 regression: 28-of-30-camera graph with perfect edges returned
+    67-degree-median rotations)."""
+    wRi_gt, wti_gt = circle_poses(12)
+    edges = np.asarray([(i, j) for i in range(12) for j in range(i + 1, 12)
+                        if j - i <= 3], np.int64)
+    i2Ri1, _ = relative_measurements(wRi_gt, wti_gt, edges)
+    # Two isolated trailing nodes (never referenced by any edge).
+    n = 14
+    wRi, info = ra.run_rotation_averaging(n, edges, i2Ri1)
+    errs = ra.relative_rotation_errors_deg(jnp.asarray(wRi), edges, i2Ri1)
+    assert float(np.max(np.asarray(errs))) < 2.0
+    assert info["certificate_min_eig_p3"] > -1e-2 * (1 + 12)

@@ -43,7 +43,38 @@ def test_retrieval_regime_requires_weights():
         SceneOptimizer(cfg).generate_pairs(_TinyLoader())
 
 
-def test_retrieval_regime_random_weights():
+class _StubNetVLAD:
+    """Tiny global-descriptor stand-in: these tests validate the retrieval
+    WIRING (regime dispatch, similarity top-K, joint union), not the VGG16
+    trunk — which has its own test (test_deep_models.test_netvlad_descriptor)
+    and costs ~30 s of compile per pipeline construction."""
+
+    def __init__(self, checkpoint_path=None):
+        self.params = None
+
+    def init_random(self, *a, **k):
+        self.params = object()
+        return self
+
+    def __call__(self, images):
+        import jax.numpy as jnp
+
+        flat = images.reshape(images.shape[0], -1, images.shape[-1])
+        d = jnp.concatenate(
+            [flat.mean(axis=1), flat.std(axis=1), flat[:, ::257, :].reshape(images.shape[0], -1)],
+            axis=-1,
+        )
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+@pytest.fixture()
+def stub_netvlad(monkeypatch):
+    from gtsfm_tpu.frontend.deep import netvlad
+
+    monkeypatch.setattr(netvlad, "NetVLAD", _StubNetVLAD)
+
+
+def test_retrieval_regime_random_weights(stub_netvlad):
     cfg = PipelineConfig()
     cfg.retriever.regime = "retrieval"
     cfg.retriever.allow_random_weights = True
@@ -54,7 +85,7 @@ def test_retrieval_regime_random_weights():
     assert all(a < b for a, b in pairs)
 
 
-def test_joint_regime_includes_sequential_window():
+def test_joint_regime_includes_sequential_window(stub_netvlad):
     cfg = PipelineConfig()
     cfg.retriever.regime = "sequential_with_retrieval"
     cfg.retriever.allow_random_weights = True
