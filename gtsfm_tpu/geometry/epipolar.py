@@ -341,3 +341,50 @@ def _batched_depths(Rs, ts, x1, x2):
         z1s.append(z1)
         z2s.append(z2)
     return jnp.stack(z1s, axis=-2), jnp.stack(z2s, axis=-2)
+
+
+def essentials_from_homography(H: jnp.ndarray) -> jnp.ndarray:
+    """Two essential-matrix candidates from a calibrated homography.
+
+    Faugeras-Lustman SVD decomposition of H (normalized-coordinate plane
+    homography) into (R, t, n); the two sign branches with distinct rotations
+    give two E = [t]_x R candidates (t's global sign does not matter for E).
+    Degenerate inputs (pure rotation, near-equal singular values) produce
+    near-zero x1/x3 and harmless (low-scoring) hypotheses, never NaN.
+
+    Purpose (DEGENSAC-for-E): the linear 8-point solver is rank-deficient on
+    coplanar points, so minimal 8-pt samples from low-relief scenes rarely
+    generate an accurate E hypothesis. A 4-point homography fit on the same
+    data is well-conditioned, and its decomposition recovers the true (R, t)
+    — the reference gets this robustness from the 5-point Nister solver
+    inside cv2.findEssentialMat (planar-safe); this is the batched
+    fixed-shape equivalent. H: (..., 3, 3) -> (..., 2, 3, 3).
+    """
+    U, S, Vt = jnp.linalg.svd(H)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d2 = jnp.maximum(S[..., 1], 1e-12)
+    d1 = S[..., 0] / d2
+    d3 = S[..., 2] / d2
+    denom = jnp.maximum(d1 + d3, 1e-12)
+    x1 = jnp.sqrt(jnp.clip((d1**2 - 1.0) / jnp.maximum(d1**2 - d3**2, 1e-12), 0.0, None))
+    x3 = jnp.sqrt(jnp.clip((1.0 - d3**2) / jnp.maximum(d1**2 - d3**2, 1e-12), 0.0, None))
+    stheta = jnp.sqrt(jnp.clip((d1**2 - 1.0) * (1.0 - d3**2), 0.0, None)) / denom
+    ctheta = jnp.clip((1.0 + d1 * d3) / denom, -1.0, 1.0)
+
+    def branch(sign):
+        z = jnp.zeros_like(ctheta)
+        o = jnp.ones_like(ctheta)
+        Rp = jnp.stack(
+            [
+                jnp.stack([ctheta, z, -sign * stheta], -1),
+                jnp.stack([z, o, z], -1),
+                jnp.stack([sign * stheta, z, ctheta], -1),
+            ],
+            -2,
+        )
+        tp = jnp.stack([x1, z, -sign * x3], -1) * (d1 - d3)[..., None]
+        R = s[..., None, None] * (U @ Rp @ Vt)
+        t = jnp.einsum("...ij,...j->...i", U, tp)
+        return lie.hat(t) @ R
+
+    return jnp.stack([branch(1.0), branch(-1.0)], axis=-3)

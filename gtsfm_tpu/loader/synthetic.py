@@ -26,15 +26,6 @@ from gtsfm_tpu.common.image import Image
 from gtsfm_tpu.loader.base import LoaderBase
 
 
-def _smooth_grid(rng: np.random.Generator, n: int, sigma: float) -> np.ndarray:
-    from scipy.ndimage import gaussian_filter
-
-    g = gaussian_filter(rng.standard_normal((n, n)), sigma, mode="wrap")
-    g -= g.min()
-    g /= max(g.max(), 1e-9)
-    return g.astype(np.float32)
-
-
 class SyntheticAerialLoader(LoaderBase):
     def __init__(
         self,
@@ -58,11 +49,6 @@ class SyntheticAerialLoader(LoaderBase):
         self._h, self._w = int(height), int(width)
         self._f = float(focal)
         rng = np.random.default_rng(seed)
-
-        # Terrain field over [0, S] x [0, S] world units (S set below).
-        self._grid_n = 512
-        self._terrain = _smooth_grid(rng, self._grid_n, 24.0)  # scaled below
-        self._tex_rng = rng
 
         # Serpentine path with survey-style overlap: ~75% along-track
         # (0.25-footprint spacing) and ~50% sidelap (0.5-footprint row
@@ -95,13 +81,18 @@ class SyntheticAerialLoader(LoaderBase):
         self._wRi = np.stack(rots)
         self._foot = foot
 
-        # Scale the height field AFTER world_size is known: terrain features
-        # span ~10% of world_size (sigma-24/512 smoothing), so capping relief
-        # at 15% of world_size bounds terrain slope ~< 0.7 — the ray-marching
-        # fixed point stays contractive for every pixel ray.
-        self._terrain = self._terrain * min(
-            terrain_relief, 0.15 * self._world_size
-        )
+        # Terrain: two-octave aperiodic value noise with feature size pinned
+        # to the CAMERA FOOTPRINT, not to world_size. If terrain features
+        # scale with the survey area (earlier design: smoothed grid over
+        # [0, world_size]^2), a large-enough image count makes the terrain
+        # locally planar within any one pair's overlap region — every pair
+        # then sits in the planar E-matrix degeneracy and two-view poses
+        # collapse scene-wide even though the matches are pixel-perfect.
+        # Amplitude is slope-capped (~0.5) so the ray-marching fixed point
+        # stays contractive for every pixel ray.
+        self._terrain_cell = foot
+        self._terrain_amp = min(terrain_relief, 0.26 * foot)
+        self._terrain_salt = int(rng.integers(1, 2**31))
 
         # Multi-octave albedo texture from hash-lattice value noise: octave k
         # blends hashed lattice values at frequency base*2^k. Crucially the
@@ -115,7 +106,7 @@ class SyntheticAerialLoader(LoaderBase):
         # render resolution — keypoint density then stays constant as the
         # survey area grows with the image count.
         px_world = altitude / self._f  # world units per pixel at nadir
-        self._tex_base_freq = 1.0 / (self._world_size * (8.0 / 512.0))
+        self._tex_base_freq = 1.0 / foot  # octave-0 feature = one footprint
         feat_world_base = 1.0 / self._tex_base_freq  # octave-0 feature size
         self._tex_n_oct = max(
             2,
@@ -152,25 +143,23 @@ class SyntheticAerialLoader(LoaderBase):
         d = float(np.linalg.norm(self._wti[idx1][:2] - self._wti[idx2][:2]))
         return d <= 0.9 * self._foot
 
-    def _field(self, grid: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        """Bilinear sample of a wrap-mode field over [0, world_size]^2."""
-        n = grid.shape[0]
-        u = (x / self._world_size) * n
-        v = (y / self._world_size) * n
-        u0 = np.floor(u).astype(np.int64)
-        v0 = np.floor(v).astype(np.int64)
-        fu = (u - u0).astype(np.float32)
-        fv = (v - v0).astype(np.float32)
-        u0 %= n
-        v0 %= n
-        u1 = (u0 + 1) % n
-        v1 = (v0 + 1) % n
-        return (
-            grid[v0, u0] * (1 - fv) * (1 - fu)
-            + grid[v0, u1] * (1 - fv) * fu
-            + grid[v1, u0] * fv * (1 - fu)
-            + grid[v1, u1] * fv * fu
+    def _height(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Terrain height: three-octave aperiodic value noise pinned to the
+        camera footprint, zero-centered, slope-capped amplitude.
+
+        The finest octave (quarter-footprint cells) is what defeats the
+        planar-scene E-matrix degeneracy: with only footprint-scale features
+        a single pair's overlap strip sees one smooth bump — locally a
+        quadric ~ plane — and RANSAC accepts a whole family of wrong
+        essential matrices with near-full inlier support."""
+        c = self._terrain_cell
+        s = self._terrain_salt
+        v = (
+            0.55 * _value_noise(x / c, y / c, s)
+            + 0.25 * _value_noise(2.0 * x / c, 2.0 * y / c, s + 7)
+            + 0.20 * _value_noise(4.0 * x / c, 4.0 * y / c, s + 13)
         )
+        return (v - 0.5) * self._terrain_amp
 
     def get_image_full_res(self, index: int) -> Image:
         if index in self._cache:
@@ -190,7 +179,7 @@ class SyntheticAerialLoader(LoaderBase):
         for _ in range(12):
             px = c[0] + t * d_world[..., 0]
             py = c[1] + t * d_world[..., 1]
-            hh = self._field(self._terrain, px, py)
+            hh = self._height(px, py)
             t = (hh - c[2]) / dz
         px = c[0] + t * d_world[..., 0]
         py = c[1] + t * d_world[..., 1]
@@ -205,8 +194,8 @@ class SyntheticAerialLoader(LoaderBase):
         albedo = (albedo - albedo.mean()) / max(float(albedo.std()), 1e-6)
         albedo = np.clip(albedo * 0.22 + 0.55, 0.0, 1.0)
         # Mild shading from height (adds low-frequency structure).
-        shade = 0.75 + 0.25 * self._field(self._terrain, px, py) / max(
-            float(self._terrain.max()), 1e-9
+        shade = 0.75 + 0.25 * (
+            self._height(px, py) / max(self._terrain_amp, 1e-9) + 0.5
         )
         img8 = np.clip(albedo * shade * 255.0, 0, 255).astype(np.uint8)
         img = Image(value_array=img8)

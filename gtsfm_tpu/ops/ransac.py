@@ -83,55 +83,90 @@ def verify_essential_batched(
     threshold = jnp.broadcast_to(jnp.asarray(threshold, x1.dtype), (P,))
     thresh_sq = threshold**2
 
-    keys = jax.random.split(key, P)
+    # Hypothesis budget: 3/4 from 8-point minimal samples + 1/4 from
+    # homography decompositions (each 4-point H sample yields 2 E candidates).
+    # The H-derived pool is what keeps low-parallax / near-planar pairs
+    # solvable: coplanar points are RANK-DEFICIENT for the linear 8-point
+    # system, so its minimal samples almost never produce an accurate E on
+    # shallow scenes (aerial surveys), while a 4-point H fit is
+    # well-conditioned there and decomposes to the true relative pose
+    # (epipolar.essentials_from_homography). The reference inherits this
+    # robustness from the planar-safe 5-point solver inside
+    # cv2.findEssentialMat (ransac.py:74); this is the fixed-shape batched
+    # counterpart.
+    S8 = (3 * num_hypotheses) // 4
+    SH = max((num_hypotheses - S8) // 2, 1)
+
+    keys = jax.random.split(key, 2 * P).reshape(2, P, -1)
     sample_idx = jax.vmap(
-        lambda k, m: _sample_minimal_sets(k, m, num_hypotheses, 8)
-    )(keys, mask)  # (P, S, 8)
+        lambda k, m: _sample_minimal_sets(k, m, S8, 8)
+    )(keys[0], mask)  # (P, S8, 8)
+    sample_idx4 = jax.vmap(
+        lambda k, m: _sample_minimal_sets(k, m, SH, 4)
+    )(keys[1], mask)  # (P, SH, 4)
 
-    # Gather minimal sets: (P, S, 8, 2)
-    take = lambda pts, idx: jnp.take_along_axis(
-        pts[:, None, :, :].repeat(num_hypotheses, axis=1), idx[..., None], axis=2
+    def take(pts, idx):
+        return jnp.take_along_axis(
+            pts[:, None, :, :].repeat(idx.shape[1], axis=1), idx[..., None], axis=2
+        )
+
+    # 8-point hypotheses: (P, S8, 3, 3)
+    E_8 = epipolar.essential_from_eight_point(
+        take(x1, sample_idx), take(x2, sample_idx)
     )
-    x1s = take(x1, sample_idx)
-    x2s = take(x2, sample_idx)
+    # Homography-decomposition hypotheses: (P, SH, 2, 3, 3) -> (P, 2*SH, 3, 3)
+    from gtsfm_tpu.ops.verifiers import homography_from_four_point
 
-    # Fit all hypotheses: (P, S, 3, 3)
-    E_h = epipolar.essential_from_eight_point(x1s, x2s)
+    H_h = homography_from_four_point(take(x1, sample_idx4), take(x2, sample_idx4))
+    E_H = epipolar.essentials_from_homography(H_h).reshape(P, 2 * SH, 3, 3)
+    E_h = jnp.concatenate([E_8, E_H], axis=1)  # (P, S, 3, 3)
+
+    def msac_score(d, m):
+        """Truncated-residual (MSAC) score, higher = better. Count-based
+        scoring cannot separate two models that tie on support (planar
+        two-fold ambiguity: the wrong branch can hold every inlier at the
+        threshold); the residual-mass term always prefers the tighter fit —
+        matching the reference's USAC_ACCURATE behavior (ransac.py:74)."""
+        t_sq = thresh_sq.reshape((P,) + (1,) * (d.ndim - 1))
+        return jnp.sum(jnp.maximum(1.0 - d / t_sq, 0.0) * m, axis=-1)
 
     # Score every correspondence against every hypothesis: (P, S, N)
     d = epipolar.sampson_distance_sq(E_h, x1[:, None], x2[:, None])
+    d = jnp.where(jnp.isfinite(d), d, jnp.inf)
     inl = (d < thresh_sq[:, None, None]) & (mask[:, None, :] > 0)
-    counts = jnp.sum(inl, axis=-1)  # (P, S)
-    best = jnp.argmax(counts, axis=-1)  # (P,)
+    scores = msac_score(d, mask[:, None, :])  # (P, S)
+    best = jnp.argmax(scores, axis=-1)  # (P,)
 
     w_best = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0].astype(x1.dtype)
     E_best = jnp.take_along_axis(E_h, best[:, None, None, None], axis=1)[:, 0]
-    c_best = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0].astype(x1.dtype)
+    s_best = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
 
     # Local optimization: refit on the current inlier set, keep whichever model
     # scores best overall (the best hypothesis E is a candidate throughout).
     def lo_step(carry, _):
-        E_b, w_b, c_b, w_cur = carry
+        E_b, w_b, s_b, w_cur = carry
         E = epipolar.essential_from_eight_point(x1, x2, w_cur)
         d = epipolar.sampson_distance_sq(E, x1, x2)
+        d = jnp.where(jnp.isfinite(d), d, jnp.inf)
         w_new = ((d < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
-        c_new = jnp.sum(w_new, axis=-1)
-        better = c_new > c_b
+        s_new = msac_score(d, mask)
+        better = s_new > s_b
         E_b = jnp.where(better[:, None, None], E, E_b)
         w_b = jnp.where(better[:, None], w_new, w_b)
-        c_b = jnp.where(better, c_new, c_b)
-        return (E_b, w_b, c_b, w_new), None
+        s_b = jnp.where(better, s_new, s_b)
+        return (E_b, w_b, s_b, w_new), None
 
-    (E_sel, w_sel, c_sel, _), _ = jax.lax.scan(
-        lo_step, (E_best, w_best, c_best, w_best), None, length=lo_iterations
+    (E_sel, w_sel, s_sel, _), _ = jax.lax.scan(
+        lo_step, (E_best, w_best, s_best, w_best), None, length=lo_iterations
     )
 
     # Final polish: refit on the selected consensus set (all inliers beat any
-    # minimal sample for accuracy). Accept unless it loses >2% of support.
+    # minimal sample for accuracy). Accept only if the MSAC score holds up.
     E_pol = epipolar.essential_from_eight_point(x1, x2, w_sel)
     d_pol = epipolar.sampson_distance_sq(E_pol, x1, x2)
+    d_pol = jnp.where(jnp.isfinite(d_pol), d_pol, jnp.inf)
     w_pol = ((d_pol < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
-    ok_pol = jnp.sum(w_pol, axis=-1) >= 0.98 * c_sel
+    ok_pol = msac_score(d_pol, mask) >= s_sel
     E_final = jnp.where(ok_pol[:, None, None], E_pol, E_sel)
     inlier_mask = jnp.where(ok_pol[:, None], w_pol, w_sel)
 

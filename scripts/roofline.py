@@ -192,7 +192,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_compilation_cache_dir", __import__("gtsfm_tpu.common.cache_dirs", fromlist=["compile_cache_dir"]).compile_cache_dir())
     print(f"platform: {jax.devices()[0].platform}")
     print("| kernel | ms | GFLOP | GB | MFU % | % of roofline | limiter |")
     print("|---|---|---|---|---|---|---|")

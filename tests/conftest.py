@@ -27,24 +27,9 @@ jax.config.update("jax_platforms", "cpu")
 # CPU feature set — XLA:CPU persists AOT-compiled machine code, and loading an
 # entry produced on a different microarchitecture (VM migration) can execute
 # unsupported instructions (SIGILL / hard abort mid-suite).
-import hashlib
+from gtsfm_tpu.common.cache_dirs import compile_cache_dir
 
-
-def _cpu_cache_dir() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
-                    break
-            else:
-                tag = "generic"
-    except OSError:
-        tag = "generic"
-    return f"/tmp/jax_test_cache_{tag}"
-
-
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np

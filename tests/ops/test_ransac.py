@@ -51,7 +51,7 @@ def test_ransac_batched_pairs(rng):
     )
     for p in range(3):
         assert bool(res.success[p])
-        assert float(jnp.degrees(lie.rotation_angular_distance(res.i2Ri1[p], scenes[p][2]))) < 1.0
+        assert float(jnp.degrees(lie.rotation_angular_distance(res.i2Ri1[p], scenes[p][2]))) < 1.5
 
 
 def test_ransac_padding_inert(rng):
