@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# One-command CI-style suite run (VERDICT r2 item 1).
+#
+# Uses pytest-xdist (-n 2) when importable — the suite is compile-dominated
+# and xdist workers share the persistent XLA compile cache — and falls back
+# to a serial run on bare pytest. Exits non-zero on any failure; no
+# deselects.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+XDIST_ARGS=()
+if python -c "import xdist" 2>/dev/null; then
+  XDIST_ARGS=(-n 2)
+fi
+exec python -m pytest tests/ -q "${XDIST_ARGS[@]}" "$@"

@@ -9,12 +9,17 @@ import jax.numpy as jnp
 import pytest
 
 
+# 288x384 render: the texture's keypoint density is pinned to ground-units
+# (finest octave ~3 px at the loader's native 384x512), so a 192x256 render
+# halves the per-image keypoint count (~215 detections -> ~34 ratio-tested
+# matches) and sits below the match-count floor this file asserts. 288x384
+# yields ~600 detections / ~140 matches on CPU and TPU alike.
 @pytest.fixture(scope="module")
 def loader():
     from gtsfm_tpu.loader.synthetic import SyntheticAerialLoader
 
     return SyntheticAerialLoader(
-        num_images=8, rows=2, height=192, width=256, max_resolution=256
+        num_images=8, rows=2, height=288, width=384, max_resolution=384
     )
 
 
@@ -22,7 +27,7 @@ def test_determinism(loader):
     from gtsfm_tpu.loader.synthetic import SyntheticAerialLoader
 
     l2 = SyntheticAerialLoader(
-        num_images=8, rows=2, height=192, width=256, max_resolution=256
+        num_images=8, rows=2, height=288, width=384, max_resolution=384
     )
     np.testing.assert_array_equal(
         loader.get_image_full_res(3).value_array, l2.get_image_full_res(3).value_array
