@@ -1,26 +1,58 @@
 """Compile-cache location helpers.
 
 XLA:CPU's persistent cache stores AOT machine code; loading an entry
-produced on a different CPU microarchitecture (VM migration between runs)
-can execute unsupported instructions and abort the process mid-run. Keying
-the directory by the host's CPU feature flags makes the cache
-self-invalidating across machine changes.
+produced on a different CPU microarchitecture (VM migration between runs,
+or a cache directory copied between hosts) can execute unsupported
+instructions and abort the process mid-run (SIGILL). Keying the directory
+by a machine identity tag makes the cache self-invalidating across machine
+and toolchain changes.
+
+The tag folds in:
+  * jax + jaxlib versions — XLA's serialized-executable format and its
+    target-feature tuning (e.g. the prefer-no-scatter/prefer-no-gather
+    pseudo-features) change across releases independently of the CPU;
+  * the /proc/cpuinfo feature-flag line — catches microarchitecture
+    changes on Linux;
+  * a per-machine fallback (hostname + arch + processor) where
+    /proc/cpuinfo is absent, so two different non-Linux machines never
+    collapse to one shared "generic" cache.
 """
 
 from __future__ import annotations
 
 import hashlib
+import platform
 
 
-def compile_cache_dir(prefix: str = "/tmp/jax_test_cache") -> str:
+def _machine_identity() -> str:
+    import jax
+
+    try:
+        import jaxlib
+
+        jaxlib_ver = getattr(jaxlib, "version", None)
+        jaxlib_ver = getattr(jaxlib_ver, "__version__", "unknown")
+    except Exception:  # pragma: no cover
+        jaxlib_ver = "unknown"
+    parts = [f"jax={jax.__version__}", f"jaxlib={jaxlib_ver}"]
+    cpu_flags = None
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    cpu_flags = line.strip()
                     break
-            else:
-                tag = "generic"
     except OSError:
-        tag = "generic"
+        pass
+    if cpu_flags is not None:
+        parts.append(cpu_flags)
+    else:  # non-Linux: per-machine, NOT a shared generic bucket
+        parts.append(
+            f"{platform.node()}|{platform.machine()}|{platform.processor()}"
+        )
+    return "\n".join(parts)
+
+
+def compile_cache_dir(prefix: str = "/tmp/jax_test_cache") -> str:
+    tag = hashlib.sha1(_machine_identity().encode()).hexdigest()[:12]
     return f"{prefix}_{tag}"

@@ -69,11 +69,18 @@ class SceneOptimizer:
             # repeat runs skip recompilation (the dominant cold-start cost on
             # TPU — the analog of the reference's front-end cache making CI
             # reruns cheap, benchmark.yml:41-48). Independent of enable_cache:
-            # disabling RESULT reuse should not force recompilation.
+            # disabling RESULT reuse should not force recompilation. The dir
+            # is keyed by machine identity (cache_dirs.compile_cache_dir) so
+            # a cache/ directory copied from another host — whose AOT machine
+            # code could SIGILL here — is never loaded.
             try:
+                from gtsfm_tpu.common.cache_dirs import compile_cache_dir
+
                 jax.config.update(
                     "jax_compilation_cache_dir",
-                    os.path.join(os.path.abspath(self.config.cache_dir), "xla"),
+                    compile_cache_dir(
+                        os.path.join(os.path.abspath(self.config.cache_dir), "xla")
+                    ),
                 )
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             except Exception:  # pragma: no cover — config already finalized
@@ -759,6 +766,10 @@ class SceneOptimizer:
                 [np.asarray(f.uv) for f in feats], match_idx,
                 np.asarray(res.inlier_mask), cals, wRi_gt0, wti_gt0, gt_valid0,
                 dist_threshold_px=cfg.two_view.estimation_threshold_px,
+                # Astrovision ships a GT surface mesh: classification then
+                # ray-casts against it instead of the epipolar check
+                # (reference utils/metrics.py:69-96 prefers the mesh).
+                gt_mesh=loader.get_gt_scene_mesh(),
             )
             gt_ratios = [
                 r.inlier_ratio_gt_model
