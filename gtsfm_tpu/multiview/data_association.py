@@ -63,6 +63,9 @@ def triangulate_tracks_robust(
     # pair enumeration is used only while C(L,2) fits under this cap —
     # long tracks (large scenes) would otherwise build a (T*C(L,2), L, 3, 4)
     # hypothesis tensor that overflows device memory.
+    seed: int | jnp.ndarray = 0,  # PRNG seed (or key) for the sampled
+    # long-track hypothesis draw; default 0 keeps runs deterministic, callers
+    # and tests can reseed to decorrelate hypothesis samples.
 ) -> TriangulationResult:
     T, L = cam_idx.shape
     K = jax.vmap(cameras.K_from_bundler)(cal)
@@ -116,7 +119,9 @@ def triangulate_tracks_robust(
         C = 16  # hypotheses scored per chunk
         K2 = ((max_hypotheses + C - 1) // C) * C
         n_t = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (T,)
-        u = jax.random.uniform(jax.random.PRNGKey(0), (T, K2, 2))
+        key = seed if isinstance(seed, jnp.ndarray) and seed.dtype == jnp.uint32 \
+            else jax.random.PRNGKey(seed)
+        u = jax.random.uniform(key, (T, K2, 2))
         na = jnp.maximum(n_t, 1)[:, None]
         a = jnp.minimum((u[..., 0] * na).astype(jnp.int32), na - 1)  # (T, K2)
         nb = jnp.maximum(n_t - 1, 1)[:, None]
