@@ -1,0 +1,177 @@
+"""BAL / Bundler reader tests (reference gtsfm/utils/io.py:133-149).
+
+The decisive check is convention-independence: a file written DIRECTLY in
+the Snavely convention (P = R·X + t, p = -P/P.z, y up) must load into a
+SceneData whose project_bundler reprojections hit the loaded measurements
+exactly — that locks the coordinate conversion, not just writer/reader
+inverse-consistency."""
+
+import numpy as np
+import pytest
+
+from gtsfm_tpu.common.scene import make_scene
+from gtsfm_tpu.io import bal as bal_io
+
+
+def _ring_scene(rng, n_cam=4, n_pt=30, f=500.0, k1=0.0, k2=0.0):
+    """Cameras on a ring looking at the origin; points near the origin."""
+    from gtsfm_tpu.geometry import cameras
+
+    import jax.numpy as jnp
+
+    wti = np.stack(
+        [
+            5.0 * np.asarray([np.cos(a), np.sin(a), 0.1 * i])
+            for i, a in enumerate(np.linspace(0, 1.5 * np.pi, n_cam))
+        ]
+    )
+    wRi = []
+    for c in wti:
+        z = -c / np.linalg.norm(c)  # +z toward origin
+        x = np.cross([0.0, 0.0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        wRi.append(np.stack([x, y, z], axis=1))
+    wRi = np.stack(wRi)
+    cal = np.tile(np.asarray([f, k1, k2, 0.0, 0.0], np.float32), (n_cam, 1))
+    pts = rng.normal(size=(n_pt, 3)) * 0.8
+    tracks = []
+    for j in range(n_pt):
+        tr = []
+        for i in range(n_cam):
+            uv, depth = cameras.project_bundler(
+                jnp.asarray(wRi[i], jnp.float32), jnp.asarray(wti[i], jnp.float32),
+                jnp.asarray(cal[i]), jnp.asarray(pts[j], jnp.float32),
+            )
+            if float(depth) > 0:
+                tr.append((i, np.asarray(uv)))
+        if len(tr) >= 2:
+            tracks.append(tr)
+    scene = make_scene(wRi.astype(np.float32), wti.astype(np.float32), cal, tracks)
+    import dataclasses
+
+    full_pts = np.zeros((scene.num_tracks_padded, 3), np.float32)
+    full_pts[: len(tracks)] = pts[: len(tracks)]  # track j built from pts[j]
+    # tracks were appended in point order and none dropped (ring sees all)
+    return dataclasses.replace(scene, points=jnp.asarray(full_pts))
+
+
+def test_write_read_roundtrip(rng, tmp_path):
+    scene = _ring_scene(rng)
+    assert float(np.max(np.asarray(scene.reprojection_errors()[0]))) < 1e-2
+    path = str(tmp_path / "problem.bal")
+    bal_io.write_bal(path, scene)
+    loaded = bal_io.read_bal(path)
+    assert loaded.num_cameras() == scene.num_cameras()
+    assert loaded.num_tracks() == scene.num_tracks()
+    assert loaded.num_measurements() == scene.num_measurements()
+    np.testing.assert_allclose(
+        np.asarray(loaded.wti)[:4], np.asarray(scene.wti)[:4], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.wRi)[:4], np.asarray(scene.wRi)[:4], atol=1e-5
+    )
+    # Round-tripped measurements still reproject exactly.
+    assert float(np.max(np.asarray(loaded.reprojection_errors()[0]))) < 1e-2
+
+
+def test_snavely_convention_direct(rng, tmp_path):
+    """Hand-written BAL file in the native Snavely convention."""
+    f, k1, k2 = 400.0, -1e-7, 2e-13
+    n_cam, n_pt = 3, 12
+    # Cameras: world->cam rotations near identity, points placed in FRONT of
+    # the Snavely camera, i.e. P.z < 0.
+    Rs, ts = [], []
+    for i in range(n_cam):
+        w = rng.normal(size=3) * 0.1
+        Rs.append(bal_io._rodrigues_to_R(w))
+        ts.append(rng.normal(size=3) * 0.2)
+    pts = rng.normal(size=(n_pt, 3)) * 0.5
+    pts[:, 2] = -5.0 + rng.normal(size=n_pt)  # in front (negative z)
+    obs = []
+    for i in range(n_cam):
+        for j in range(n_pt):
+            P = Rs[i] @ pts[j] + ts[i]
+            assert P[2] < 0
+            p = -P[:2] / P[2]
+            r2 = float(p @ p)
+            g = 1.0 + k1 * r2 + k2 * r2 * r2
+            obs.append((i, j, f * g * p[0], f * g * p[1]))
+    lines = [f"{n_cam} {n_pt} {len(obs)}"]
+    lines += [f"{i} {j} {u:.17g} {v:.17g}" for i, j, u, v in obs]
+    for i in range(n_cam):
+        w = bal_io._R_to_rodrigues(Rs[i])
+        for val in (*w, *ts[i], f, k1, k2):
+            lines.append(f"{val:.17g}")
+    for j in range(n_pt):
+        lines += [f"{val:.17g}" for val in pts[j]]
+    path = str(tmp_path / "direct.bal")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    scene = bal_io.read_bal(path)
+    assert scene.num_cameras() == n_cam
+    assert scene.num_measurements() == len(obs)
+    errs = np.asarray(scene.reprojection_errors()[0])
+    assert float(np.max(errs)) < 1e-2, float(np.max(errs))
+
+
+def test_bundler_reader(rng, tmp_path):
+    f = 350.0
+    R = bal_io._rodrigues_to_R(np.asarray([0.05, -0.02, 0.1]))
+    t = np.asarray([0.1, 0.2, -0.3])
+    pts = rng.normal(size=(5, 3)) * 0.3
+    pts[:, 2] = -4.0
+    lines = ["# Bundle file v0.3", "2 5"]
+    for Ri, ti in ((np.eye(3), np.zeros(3)), (R, t)):
+        lines.append(f"{f} 0 0")
+        for row in Ri:
+            lines.append(" ".join(f"{v:.17g}" for v in row))
+        lines.append(" ".join(f"{v:.17g}" for v in ti))
+    for j in range(5):
+        lines.append(" ".join(f"{v:.17g}" for v in pts[j]))
+        lines.append("128 128 128")
+        views = []
+        for ci, (Ri, ti) in enumerate(((np.eye(3), np.zeros(3)), (R, t))):
+            P = Ri @ pts[j] + ti
+            p = -P[:2] / P[2]
+            views.append(f"{ci} {j} {f * p[0]:.17g} {f * p[1]:.17g}")
+        lines.append(f"{len(views)} " + " ".join(views))
+    path = str(tmp_path / "model.out")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    scene = bal_io.read_bundler(path)
+    assert scene.num_cameras() == 2
+    assert scene.num_tracks() == 5
+    assert scene.num_measurements() == 10
+    assert float(np.max(np.asarray(scene.reprojection_errors()[0]))) < 1e-2
+
+
+def test_ba_on_noised_bal_problem(rng, tmp_path):
+    """BAL round-trip into the LM optimizer: noised points + poses converge
+    back to sub-pixel reprojection (the BAL validation row, VERDICT item 8)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gtsfm_tpu.bundle import ba
+
+    scene = _ring_scene(rng, n_cam=6, n_pt=60)
+    path = str(tmp_path / "p.bal")
+    bal_io.write_bal(path, scene)
+    clean = bal_io.read_bal(path)
+    noised = dataclasses.replace(
+        clean,
+        points=clean.points + jnp.asarray(rng.normal(size=clean.points.shape) * 0.05,
+                                          jnp.float32),
+        wti=clean.wti + jnp.asarray(rng.normal(size=clean.wti.shape) * 0.02,
+                                    jnp.float32),
+    )
+    rmse0 = float(jnp.sqrt(jnp.mean(noised.reprojection_errors()[0] ** 2)))
+    assert rmse0 > 1.0  # the noise actually moved it
+    result = ba.lm_optimize(noised, ba.BAConfig(max_iterations=30, robust=False))
+    rmse1 = float(
+        jnp.sqrt(jnp.mean(result.scene.reprojection_errors()[0] ** 2))
+    )
+    assert rmse1 < 0.1, (rmse0, rmse1)
