@@ -1,0 +1,209 @@
+"""Mesh ray-cast ground-truth correspondence classification.
+
+Feature parity with reference gtsfm/utils/metrics.py:131
+(mesh_inlier_correspondences + compute_keypoint_intersections), used for
+astrovision scenes where a GT surface mesh exists and epipolar checks are
+weak at low parallax. The reference backprojects a ray per keypoint with
+trimesh's embree wrapper and projects the hit through the other GT camera;
+here the ray-triangle intersection is a batched Möller–Trumbore over ALL
+(ray, face) pairs on the MXU — one einsum-shaped program instead of a
+BVH traversal, which at astrovision fixture scale (10k faces x ~2k rays)
+is a ~60 MFLOP tensor op, far below one device dispatch's latency floor.
+
+Also provides the minimal PLY mesh reader the astrovision fixtures need
+(binary little-endian or ascii, xyz[+extras] vertices, uchar-count int
+faces) — the reference gets this from trimesh.load.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsfm_tpu.geometry import cameras
+
+
+def read_ply_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a triangle mesh from a PLY file -> (vertices (V,3) f32, faces (F,3) i32).
+
+    Supports format ascii / binary_little_endian, float32 x/y/z leading
+    vertex properties (extra scalar vertex properties are skipped), and
+    faces as a (uchar count, int32 indices) list. Non-triangle faces are
+    fan-triangulated.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n")
+    if header_end < 0:
+        raise ValueError(f"{path}: not a PLY file")
+    header = data[:header_end].decode("ascii", "replace").splitlines()
+    body = data[header_end + len(b"end_header\n"):]
+
+    fmt = None
+    elements: list[tuple[str, int, list[tuple[str, str]]]] = []
+    for line in header:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property" and elements:
+            if parts[1] == "list":
+                elements[-1][2].append(("list", f"{parts[2]}:{parts[3]}"))
+            else:
+                elements[-1][2].append((parts[1], parts[2]))
+    if fmt not in ("ascii", "binary_little_endian"):
+        raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    _SIZES = {"char": "b", "uchar": "B", "int8": "b", "uint8": "B",
+              "short": "h", "ushort": "H", "int16": "h", "uint16": "H",
+              "int": "i", "uint": "I", "int32": "i", "uint32": "I",
+              "float": "f", "float32": "f", "double": "d", "float64": "d"}
+
+    verts: np.ndarray | None = None
+    faces: list[list[int]] = []
+    if fmt == "ascii":
+        tokens = body.decode("ascii").split("\n")
+        ti = 0
+        for name, count, props in elements:
+            rows = []
+            for _ in range(count):
+                while ti < len(tokens) and not tokens[ti].strip():
+                    ti += 1
+                row = tokens[ti].split()
+                ti += 1
+                rows.append(row)
+            if name == "vertex":
+                verts = np.asarray(
+                    [[float(r[k]) for k in range(3)] for r in rows], np.float32
+                )
+            elif name == "face":
+                for r in rows:
+                    n = int(r[0])
+                    faces.append([int(x) for x in r[1:1 + n]])
+    else:
+        off = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                fmt_row = "<" + "".join(_SIZES[t] for t, _ in props)
+                row_sz = struct.calcsize(fmt_row)
+                arr = np.frombuffer(body, dtype=np.uint8,
+                                    count=count * row_sz, offset=off)
+                arr = arr.reshape(count, row_sz)
+                # x, y, z are the leading three properties by convention
+                assert [n for _, n in props[:3]] == ["x", "y", "z"], props
+                xyz_fmt = "<" + "".join(_SIZES[t] for t, _ in props[:3])
+                xyz_sz = struct.calcsize(xyz_fmt)
+                verts = np.frombuffer(
+                    arr[:, :xyz_sz].tobytes(), dtype="<f4"
+                ).reshape(count, 3).astype(np.float32)
+                off += count * row_sz
+            elif name == "face":
+                (ltype,) = [p for t, p in props if t == "list"][:1] or [None]
+                cnt_t, idx_t = ltype.split(":")
+                cnt_sz = struct.calcsize(_SIZES[cnt_t])
+                idx_sz = struct.calcsize(_SIZES[idx_t])
+                for _ in range(count):
+                    (n,) = struct.unpack_from("<" + _SIZES[cnt_t], body, off)
+                    off += cnt_sz
+                    idxs = struct.unpack_from("<" + _SIZES[idx_t] * n, body, off)
+                    off += idx_sz * n
+                    faces.append(list(idxs))
+            else:  # skip unknown fixed-size element
+                fmt_row = "<" + "".join(_SIZES[t] for t, _ in props)
+                off += count * struct.calcsize(fmt_row)
+    if verts is None:
+        raise ValueError(f"{path}: no vertex element")
+    tris = []
+    for fc in faces:
+        for k in range(1, len(fc) - 1):  # fan triangulation
+            tris.append((fc[0], fc[k], fc[k + 1]))
+    return verts, np.asarray(tris, np.int32)
+
+
+def ray_mesh_first_hit(
+    origins: jnp.ndarray,  # (N, 3)
+    dirs: jnp.ndarray,  # (N, 3) need not be normalized
+    vertices: jnp.ndarray,  # (V, 3)
+    faces: jnp.ndarray,  # (F, 3) int
+    eps: float = 1e-7,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched Möller–Trumbore: first (min-t, t>eps) intersection per ray.
+
+    Returns (hit (N,) bool, points (N, 3); garbage where no hit).
+    """
+    v0 = vertices[faces[:, 0]]  # (F, 3)
+    e1 = vertices[faces[:, 1]] - v0
+    e2 = vertices[faces[:, 2]] - v0
+    # All pairs: rays (N, 1, 3) vs faces (1, F, 3).
+    d = dirs[:, None, :]
+    h = jnp.cross(d, e2[None])  # (N, F, 3)
+    a = jnp.sum(e1[None] * h, axis=-1)  # (N, F)
+    parallel = jnp.abs(a) < eps
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = origins[:, None, :] - v0[None]  # (N, F, 3)
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1[None])
+    v = f * jnp.sum(d * q, axis=-1)
+    t = f * jnp.sum(e2[None] * q, axis=-1)
+    valid = (
+        (~parallel)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > eps)
+    )
+    t_masked = jnp.where(valid, t, jnp.inf)
+    t_min = jnp.min(t_masked, axis=1)  # (N,)
+    hit = jnp.isfinite(t_min)
+    pts = origins + jnp.where(hit, t_min, 0.0)[:, None] * dirs
+    return hit, pts
+
+
+def backproject_rays(
+    uv: jnp.ndarray, cal: jnp.ndarray, wRi: jnp.ndarray, wti: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel keypoints -> world-frame rays (origins (N,3), dirs (N,3))."""
+    pn = cameras.bundler_calibrate(cal[None], uv)  # (N, 2) normalized
+    d_cam = jnp.concatenate([pn, jnp.ones_like(pn[:, :1])], axis=-1)
+    d_world = d_cam @ wRi.T  # row-vector form of wRi @ d
+    origins = jnp.broadcast_to(wti, d_world.shape)
+    return origins, d_world
+
+
+def mesh_inlier_correspondences(
+    uv1: jnp.ndarray,  # (N, 2) matched keypoints in image 1
+    uv2: jnp.ndarray,  # (N, 2) corresponding keypoints in image 2
+    cal1: jnp.ndarray,  # (5,) Cal3Bundler
+    cal2: jnp.ndarray,
+    wRi1: jnp.ndarray, wti1: jnp.ndarray,  # GT camera 1 (cam-to-world)
+    wRi2: jnp.ndarray, wti2: jnp.ndarray,
+    vertices: jnp.ndarray, faces: jnp.ndarray,
+    dist_threshold: float = 4.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Classify correspondences via GT mesh ray-casting.
+
+    Reference semantics (utils/metrics.py:131): a correspondence is inlier
+    iff BOTH keypoint rays hit the mesh, both hits project in front of the
+    other camera, and the max symmetric reprojection error < threshold.
+    Returns (is_inlier (N,) bool, reproj_err (N,) — NaN where unclassified).
+    """
+    o1, d1 = backproject_rays(uv1, cal1, wRi1, wti1)
+    o2, d2 = backproject_rays(uv2, cal2, wRi2, wti2)
+    hit1, X1 = ray_mesh_first_hit(o1, d1, vertices, faces)
+    hit2, X2 = ray_mesh_first_hit(o2, d2, vertices, faces)
+    both = hit1 & hit2
+    # Forward-project each hit through the OTHER camera.
+    uv_12, z12 = cameras.project_bundler(wRi2[None], wti2[None], cal2[None], X1)
+    uv_21, z21 = cameras.project_bundler(wRi1[None], wti1[None], cal1[None], X2)
+    ok = both & (z12 > 0) & (z21 > 0)
+    err12 = jnp.linalg.norm(uv_12 - uv2, axis=-1)
+    err21 = jnp.linalg.norm(uv_21 - uv1, axis=-1)
+    err = jnp.maximum(err12, err21)
+    is_inlier = ok & (err < dist_threshold)
+    reproj = jnp.where(both, jnp.where(ok, err, jnp.nan), jnp.nan)
+    return is_inlier, reproj

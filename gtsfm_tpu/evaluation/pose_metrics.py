@@ -156,6 +156,7 @@ def add_gt_correspondence_metrics(
     cals,  # (N, 5) Cal3Bundler params
     wRi_gt, wti_gt, gt_valid,
     dist_threshold_px: float = 4.0,
+    gt_mesh: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> None:
     """Classify each pair's VERIFIED correspondences against the GT epipolar
     geometry (squared Sampson in pixels vs the GT fundamental matrix) and
@@ -163,6 +164,11 @@ def add_gt_correspondence_metrics(
     utils/metrics.py:99-131 (compute_correspondence_metrics ->
     epipolar_inlier_correspondences), surfaced per pair in the
     TwoViewEstimationReport like the reference's frontend summaries.
+
+    When gt_mesh=(vertices, faces) is given (astrovision: the loader ships a
+    GT surface mesh), classification uses mesh ray-casting instead — the
+    reference's preference too (utils/metrics.py:69-96): epipolar checks are
+    weak at the low-parallax geometry those scenes have.
     """
     mi = np.asarray(match_idx)
     for k, (a, b) in enumerate(pairs):
@@ -187,6 +193,28 @@ def add_gt_correspondence_metrics(
             continue
         uv1 = np.asarray(feats_uv[a])[ia]
         uv2 = np.asarray(feats_uv[b])[ib]
+        if gt_mesh is not None:
+            from gtsfm_tpu.evaluation import mesh_metrics
+
+            import jax.numpy as jnp
+
+            verts, tris = gt_mesh
+            is_inl_m, err_m = mesh_metrics.mesh_inlier_correspondences(
+                jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+                jnp.asarray(cals[a], jnp.float32), jnp.asarray(cals[b], jnp.float32),
+                jnp.asarray(wRi_gt[a], jnp.float32), jnp.asarray(wti_gt[a], jnp.float32),
+                jnp.asarray(wRi_gt[b], jnp.float32), jnp.asarray(wti_gt[b], jnp.float32),
+                jnp.asarray(verts, jnp.float32), jnp.asarray(tris, jnp.int32),
+                dist_threshold=dist_threshold_px,
+            )
+            is_inl_m = np.asarray(is_inl_m)
+            err_m = np.asarray(err_m)
+            rep.num_inliers_gt_model = int(is_inl_m.sum())
+            rep.inlier_ratio_gt_model = float(is_inl_m.mean())
+            classified = err_m[np.isfinite(err_m)]
+            if classified.size:
+                rep.gt_sampson_med_px = float(np.median(classified))
+            continue
         bRa = wRi_gt[b].T @ wRi_gt[a]
         bta = wRi_gt[b].T @ (wti_gt[a] - wti_gt[b])
         nrm = np.linalg.norm(bta)

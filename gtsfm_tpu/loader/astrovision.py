@@ -18,11 +18,28 @@ import jax.numpy as jnp
 
 class AstrovisionLoader(LoaderBase):
     def __init__(self, data_dir: str, use_gt_extrinsics: bool = True,
-                 max_frame_lookahead: int = 2, max_resolution: int = 1024):
+                 max_frame_lookahead: int = 2, max_resolution: int = 1024,
+                 gt_scene_mesh_path: str | None = None):
         super().__init__(max_resolution)
         self._max_frame_lookahead = max_frame_lookahead
         self._use_gt_extrinsics = use_gt_extrinsics
         self._images_dir = os.path.join(data_dir, "images")
+        # GT surface mesh (reference astrovision_loader.py:87-90 loads it with
+        # trimesh): enables mesh ray-cast correspondence classification. If no
+        # path is given, pick up a single .ply sitting in data_dir (the layout
+        # of the reference's test fixtures, e.g. vesta_5002.ply).
+        self._gt_mesh: tuple[np.ndarray, np.ndarray] | None = None
+        if gt_scene_mesh_path is None:
+            plys = [f for f in os.listdir(data_dir) if f.endswith(".ply")
+                    and f not in ("points3D.ply",)]
+            if len(plys) == 1:
+                gt_scene_mesh_path = os.path.join(data_dir, plys[0])
+        if gt_scene_mesh_path is not None:
+            if not os.path.exists(gt_scene_mesh_path):
+                raise FileNotFoundError(f"No mesh found at {gt_scene_mesh_path}")
+            from gtsfm_tpu.evaluation.mesh_metrics import read_ply_mesh
+
+            self._gt_mesh = read_ply_mesh(gt_scene_mesh_path)
 
         cams = colmap_bin.read_cameras_bin(os.path.join(data_dir, "cameras.bin"))
         images = colmap_bin.read_images_bin(os.path.join(data_dir, "images.bin"))
@@ -38,6 +55,9 @@ class AstrovisionLoader(LoaderBase):
             wRi = R.T
             wti = -R.T @ np.asarray(tvec, np.float32)
             self._wTi.append((wRi.astype(np.float32), wti.astype(np.float32)))
+
+    def get_gt_scene_mesh(self):
+        return self._gt_mesh
 
     def __len__(self) -> int:
         return len(self._names)

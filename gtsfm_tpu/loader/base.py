@@ -45,6 +45,12 @@ class LoaderBase(abc.ABC):
         """Reference loader_base.py is_valid_pair: ordered pairs only."""
         return 0 <= idx1 < idx2 < len(self)
 
+    def get_gt_scene_mesh(self) -> "tuple[np.ndarray, np.ndarray] | None":
+        """Optional GT surface mesh (vertices (V,3), faces (F,3)) — reference
+        loader_base.py:404 get_gt_scene_trimesh. Enables mesh ray-cast GT
+        correspondence classification (astrovision)."""
+        return None
+
     # ------------------------------------------------------------- provided
 
     def get_image(self, index: int) -> tuple[Image, np.ndarray]:
