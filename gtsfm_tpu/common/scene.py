@@ -115,6 +115,54 @@ class SceneData:
         n = jnp.maximum(jnp.sum(self.meas_mask), 1.0)
         return jnp.sum(err) / n
 
+    def select_cameras(self, keep: np.ndarray) -> "SceneData":
+        """Restrict the scene to a camera subset (reference
+        GtsfmData.pick_cameras semantics, gtsfm/common/gtsfm_data.py):
+        measurements of dropped cameras die, tracks with < 2 surviving
+        measurements die with them. keep: (N,) bool/0-1 over the padded
+        camera axis; indices stay stable (mask-based, no re-indexing)."""
+        keep = jnp.asarray(keep, self.camera_mask.dtype)
+        camera_mask = self.camera_mask * keep
+        meas_mask = self.meas_mask * camera_mask[self.meas_cam]
+        track_len = jax.ops.segment_sum(
+            meas_mask, self.meas_track, num_segments=self.num_tracks_padded
+        )
+        track_mask = (track_len >= 2).astype(self.track_mask.dtype) * self.track_mask
+        meas_mask = meas_mask * track_mask[self.meas_track]
+        return dataclasses.replace(
+            self, camera_mask=camera_mask, meas_mask=meas_mask,
+            track_mask=track_mask,
+        )
+
+    def select_largest_connected_component(self) -> "SceneData":
+        """Keep only cameras in the largest connected component of the
+        track-covisibility graph (two cameras are connected when a live
+        track is seen by both) — reference
+        GtsfmData.select_largest_connected_component
+        (gtsfm/common/gtsfm_data.py + utils/graph.py:42). Host-side graph
+        op (runs once per scene, not inside jit)."""
+        from gtsfm_tpu import native
+
+        live = (np.asarray(self.meas_mask) > 0) & (
+            np.asarray(self.track_mask)[np.asarray(self.meas_track)] > 0
+        )
+        cams = np.asarray(self.meas_cam)[live]
+        trks = np.asarray(self.meas_track)[live]
+        if cams.size == 0:
+            return self.select_cameras(np.zeros(self.num_cameras_padded))
+        # Covisibility edges: consecutive cameras of each track (sorted by
+        # (track, cam)) — a chain connects the whole track, which is all
+        # connectivity needs (no need for the full clique).
+        order = np.lexsort((cams, trks))
+        cams_s, trks_s = cams[order], trks[order]
+        same_track = trks_s[1:] == trks_s[:-1]
+        u = cams_s[:-1][same_track]
+        v = cams_s[1:][same_track]
+        if u.size == 0:
+            return self.select_cameras(np.zeros(self.num_cameras_padded))
+        cc = native.largest_connected_component(self.num_cameras_padded, u, v)
+        return self.select_cameras(cc.astype(np.float32))
+
 
 def make_scene(
     wRi: np.ndarray,
@@ -145,6 +193,13 @@ def make_scene(
     k = 0
     for j, tr in enumerate(tracks):
         for cam_idx, uv in tr:
+            if not 0 <= cam_idx < n:
+                # Reference GtsfmData.add_track refuses tracks whose
+                # measurements reference nonexistent cameras.
+                raise ValueError(
+                    f"track {j}: measurement references camera {cam_idx} "
+                    f"outside [0, {n})"
+                )
             meas_cam[k] = cam_idx
             meas_track[k] = j
             meas_uv[k] = uv
