@@ -90,6 +90,13 @@ def flash_attention(
             pltpu.VMEM((blk_q, 1), jnp.float32),   # running sum
             pltpu.VMEM((blk_q, Dh), jnp.float32),  # accumulator
         ],
+        # Cost model for XLA scheduling + roofline accounting (QK^T and PV
+        # matmuls dominate; exp() once per score entry).
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * K * K * Dh,
+            bytes_accessed=4 * BH * K * Dh * 4 + BH * K * 4,
+            transcendentals=BH * K * K,
+        ),
         interpret=interpret,
     )(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),

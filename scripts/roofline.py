@@ -165,6 +165,23 @@ def rows(small=False):
             f32=False if cfg.schur_bf16 else True,
         ))
 
+    # ---- Flash attention (SuperGlue/LightGlue long-context path).
+    from gtsfm_tpu.ops.pallas_kernels import attention as attn
+
+    attn_sizes = ((4, 256, 64),) if small else ((8, 4096, 64), (8, 16384, 64))
+    for BH, K, Dh in attn_sizes:
+        q = jnp.asarray(rng.normal(size=(BH, K, Dh)).astype(np.float32))
+        kk = jnp.asarray(rng.normal(size=(BH, K, Dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(BH, K, Dh)).astype(np.float32))
+        km = jnp.ones((BH, K))
+        use_pallas = jax.default_backend() == "tpu" and not small
+        out.append(analyze(
+            f"{'flash' if use_pallas else 'einsum'}_attention {BH}x{K}x{Dh}",
+            lambda a, b, c, m: attn.masked_attention(a, b, c, m,
+                                                     use_pallas=use_pallas),
+            (q, kk, v, km),
+        ))
+
     # ---- Plane-sweep MVS depth.
     from gtsfm_tpu.densify import plane_sweep as ps
 

@@ -1,0 +1,117 @@
+"""Iso-work scaling efficiency for distributed BA (VERDICT r2 item 3).
+
+Weak-scaling stand-in for the BASELINE ">=70% multi-host efficiency"
+target in an environment with ONE physical chip: run the distributed
+banded LM step on a VIRTUAL n-device CPU mesh at n = 1/2/4/8 with the
+SAME per-device load (cameras and tracks scale with n). Perfect scaling
+keeps the per-iteration wall time flat; efficiency(n) = t(1) / t(n).
+CPU virtual devices share the host's cores, so each subprocess also pins
+per-device compute threads; the honest signal is the collective+overhead
+growth, which is what the layout controls.
+
+Each mesh size runs in its own subprocess (device count is fixed at
+backend init).
+
+    python scripts/scaling_bench.py             # prints the table + JSON
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import dataclasses, json, os, sys, time
+import numpy as np
+
+n_dev = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={n_dev} "
+    + os.environ.get("XLA_FLAGS", "")
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    __import__("gtsfm_tpu.common.cache_dirs",
+               fromlist=["compile_cache_dir"]).compile_cache_dir(),
+)
+import jax.numpy as jnp
+from gtsfm_tpu.bundle import ba
+from gtsfm_tpu.common import scene as scene_mod
+from gtsfm_tpu.geometry import cameras
+from gtsfm_tpu.parallel import distributed
+
+BASE_CAMS, BASE_TRACKS, OBS = 64, 4096, 8
+n_cams, n_tracks = BASE_CAMS * n_dev, BASE_TRACKS * n_dev
+rng = np.random.default_rng(0)
+cal = np.tile(np.asarray([500.0, -0.05, 0.01, 320.0, 240.0], np.float32), (n_cams, 1))
+wRi = np.tile(np.eye(3, dtype=np.float32), (n_cams, 1, 1))
+wti = np.stack([np.asarray([0.3 * i, 0, 0], np.float32) for i in range(n_cams)])
+X = np.stack([rng.uniform(0, 0.3 * n_cams, n_tracks),
+              rng.uniform(-2, 2, n_tracks),
+              rng.uniform(4, 8, n_tracks)], -1).astype(np.float32)
+start = rng.integers(0, n_cams - OBS, n_tracks)
+cam_idx = (start[:, None] + np.arange(OBS)[None]).astype(np.int32)
+uv, _ = jax.vmap(lambda ci, Xj: cameras.project_bundler(
+    jnp.asarray(wRi)[ci], jnp.asarray(wti)[ci], jnp.asarray(cal)[ci],
+    jnp.broadcast_to(Xj, (OBS, 3))))(jnp.asarray(cam_idx), jnp.asarray(X))
+tracks = [[(int(cam_idx[j, k]), np.asarray(uv[j, k])) for k in range(OBS)]
+          for j in range(n_tracks)]
+sc = scene_mod.make_scene(wRi, wti, cal, tracks)
+sc = dataclasses.replace(sc, points=sc.points.at[:n_tracks].set(jnp.asarray(X)))
+
+mesh = distributed.make_mesh(n_dev)
+band, plan = ba.auto_band(sc)
+cfg = ba.BAConfig(max_iterations=2, bucket_l=ba.auto_bucket_l(sc), band=band)
+# Warm-up (compile), then best-of-3 timed runs of the 2-iteration loop.
+out, stats = distributed.distributed_lm_optimize(mesh, sc, cfg, band_plan=plan)
+jax.block_until_ready(out.points)
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    out, stats = distributed.distributed_lm_optimize(mesh, sc, cfg, band_plan=plan)
+    jax.block_until_ready(out.points)
+    best = min(best, time.perf_counter() - t0)
+meas = sc.num_measurements()
+print(json.dumps({
+    "n_devices": n_dev, "n_cams": n_cams, "n_tracks": n_tracks,
+    "n_meas": meas, "sec_per_lm_iter": best / cfg.max_iterations,
+    "meas_per_sec_per_device": meas / best * cfg.max_iterations / n_dev,
+}))
+"""
+
+
+def main():
+    results = []
+    for n in (1, 2, 4, 8):
+        r = subprocess.run(
+            [sys.executable, "-c", WORKER, str(n)],
+            cwd=REPO, capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(f"n={n} FAILED:\n{r.stdout}\n{r.stderr}", file=sys.stderr)
+            sys.exit(1)
+        results.append(json.loads(line[-1]))
+        print(f"n={n}: {results[-1]['sec_per_lm_iter'] * 1e3:.1f} ms/iter",
+              file=sys.stderr, flush=True)
+
+    t1 = results[0]["sec_per_lm_iter"]
+    print("| devices | cams | tracks | ms/LM iter | meas/s/device | efficiency |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        eff = t1 / r["sec_per_lm_iter"]
+        print(f"| {r['n_devices']} | {r['n_cams']} | {r['n_tracks']} "
+              f"| {r['sec_per_lm_iter'] * 1e3:.1f} "
+              f"| {r['meas_per_sec_per_device']:.0f} | {eff * 100:.0f}% |")
+    with open("/tmp/scaling_bench.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("JSON -> /tmp/scaling_bench.json")
+
+
+if __name__ == "__main__":
+    main()
