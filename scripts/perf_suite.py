@@ -4,7 +4,9 @@ production; CPU under tests). Produces the PERF.md measurement table.
 Run:  python scripts/perf_suite.py [--json]
 
 Every entry times the SECOND call of a jitted program (compile excluded),
-host-synced with block_until_ready.
+host-synced with timing.sync (a host fetch — jax.block_until_ready is a
+NO-OP through the axon remote-TPU tunnel; entries measured before this fix
+timed dispatch latency, not compute). RTT is subtracted.
 """
 
 from __future__ import annotations
@@ -18,15 +20,17 @@ import numpy as np
 
 
 def _timed(fn, *args, n=3):
-    import jax
+    from gtsfm_tpu.common import timing
 
     r = fn(*args)
-    jax.block_until_ready(r)
+    timing.sync(r)
+    rtt = timing.measure_rtt()
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n, r
+        timing.sync(r)
+    dt = max((time.perf_counter() - t0) / n - rtt, 1e-9)
+    return dt, r
 
 
 def bench_ba_dense_banded():
@@ -37,12 +41,15 @@ def bench_ba_dense_banded():
     band, plan = ba.auto_band(scene)
     cfg = ba.BAConfig(max_iterations=30, pcg_iterations=20,
                       bucket_l=ba.auto_bucket_l(scene), band=band)
+    from gtsfm_tpu.common import timing
+
     r = ba.lm_optimize(scene, cfg, band_plan=plan)
-    r.final_cost.block_until_ready()
+    timing.sync(r.final_cost)
+    rtt = timing.measure_rtt()
     t0 = time.perf_counter()
     r = ba.lm_optimize(scene, cfg, band_plan=plan)
-    r.final_cost.block_until_ready()
-    dt = time.perf_counter() - t0
+    timing.sync(r.final_cost)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     return {"name": "BA LM (dense banded Schur), 128 cams / 131k meas",
             "value": round(int(r.iterations) / dt, 1), "unit": "LM iters/s"}
 

@@ -25,17 +25,9 @@ PEAK_BW = 819e9
 
 
 def _timed(fn, *args, n=5):
-    import jax
+    from gtsfm_tpu.common import timing
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return timing.time_fn(fn, *args, n=n)
 
 
 def analyze(name, fn, args, f32=True):

@@ -101,13 +101,21 @@ def main():
               file=sys.stderr, flush=True)
 
     t1 = results[0]["sec_per_lm_iter"]
-    print("| devices | cams | tracks | ms/LM iter | meas/s/device | efficiency |")
+    # Normalization: every mesh size shares the SAME fixed physical CPU
+    # (XLA:CPU's intra-op pool uses all cores even at n=1), so with
+    # per-device work held constant the zero-overhead expectation is wall
+    # time ~ n * t(1). Corrected weak-scaling efficiency n*t(1)/t(n)
+    # isolates what the distributed layout controls — collective + sharding
+    # overhead growth with device count.
+    print("| devices | cams | tracks | ms/LM iter | ideal ms (n*t1) | efficiency |")
     print("|---|---|---|---|---|---|")
     for r in results:
-        eff = t1 / r["sec_per_lm_iter"]
-        print(f"| {r['n_devices']} | {r['n_cams']} | {r['n_tracks']} "
-              f"| {r['sec_per_lm_iter'] * 1e3:.1f} "
-              f"| {r['meas_per_sec_per_device']:.0f} | {eff * 100:.0f}% |")
+        n = r["n_devices"]
+        eff = n * t1 / r["sec_per_lm_iter"]
+        r["weak_scaling_efficiency"] = eff
+        print(f"| {n} | {r['n_cams']} | {r['n_tracks']} "
+              f"| {r['sec_per_lm_iter'] * 1e3:.1f} | {n * t1 * 1e3:.1f} "
+              f"| {min(eff, 1.0) * 100:.0f}% |")
     with open("/tmp/scaling_bench.json", "w") as f:
         json.dump(results, f, indent=1)
     print("JSON -> /tmp/scaling_bench.json")
