@@ -717,32 +717,17 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
     # (A symmetric sqrt(Hpp_inv)-folded S_red = B^T B variant with a G-free
     # rhs/backsubstitution measured ~15% SLOWER end-to-end on v5e — the extra
     # per-track passes cost more than the saved C array — so the plain G/C
-    # form stays. The opt-in Pallas kernel in ops/pallas_kernels/schur.py
-    # implements the B^T B form with B VMEM-resident.)
+    # form stays. A Pallas kernel computing the B^T B form with B resident
+    # in VMEM was benchmarked against this XLA path at 3 sizes
+    # (scripts/schur_bench.py, PERF.md): the XLA path won by ~25% at every
+    # size — the one-hot lane expansion is routing-bound either way and
+    # XLA's bf16 B materialization amortizes better — so the kernel was
+    # removed (r3).
     g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
     # bf16 inputs to the 2-row outer product: halves the dominant read+write
     # traffic of the coupling build (measured on the banded path; {0,1}
     # routing and f32 damping math unchanged).
     W = bar(_outer2(Jp_b.astype(g_dtype), Jc_b.astype(g_dtype)))  # (T, L, 3, D)
-    from gtsfm_tpu.ops.pallas_kernels import schur as schur_kernel
-
-    if schur_kernel.supported(T, L, N, D):
-        # Opt-in Pallas path: S_red = B^T B with B = one-hot expansion of
-        # A = chol(Hpp_inv)^T W, VMEM-resident inside the kernel.
-        U = _chol3x3(Hpp_inv)
-        u = lambda k, i: U[:, None, k, i, None]
-        W0, W1, W2 = W[:, :, 0], W[:, :, 1], W[:, :, 2]
-        A = bar(jnp.stack(
-            [
-                u(0, 0) * W0 + u(1, 0) * W1 + u(2, 0) * W2,
-                u(1, 1) * W1 + u(2, 1) * W2,
-                u(2, 2) * W2,
-            ],
-            axis=2,
-        ))
-        S_red = schur_kernel.sred_onehot_n(A, bucket.cam_b, N, out_dtype=r.dtype)
-    else:
-        S_red = None
     # The one-hot expansion einsum runs with BOTH inputs pre-cast to bf16
     # (routing entries {0,1} are exact; the result was bf16 anyway —
     # bitwise identical, ~25% faster than casting the f32 einsum output).
@@ -752,12 +737,11 @@ def _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene: SceneData, lam, cfg: B
             preferred_element_type=g_dtype,
         ).reshape(T, 3, N * D)
     )
-    if S_red is None:
-        C = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G))
-        S_red = bar(jax.lax.dot_general(
-            G.reshape(T * 3, N * D), C.reshape(T * 3, N * D), (((0,), (0,)), ((), ())),
-            preferred_element_type=r.dtype,
-        ))  # (9N, 9N) f32
+    C = bar(jnp.einsum("tij,tjn->tin", Hpp_inv.astype(g_dtype), G))
+    S_red = bar(jax.lax.dot_general(
+        G.reshape(T * 3, N * D), C.reshape(T * 3, N * D), (((0,), (0,)), ((), ())),
+        preferred_element_type=r.dtype,
+    ))  # (9N, 9N) f32
 
     idx = jnp.arange(N)
     S4 = jnp.zeros((N, D, N, D), r.dtype).at[idx, :, idx, :].set(Hcc_d)
