@@ -168,17 +168,22 @@ def plane_sweep_depth(
         inb = (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1) & (Xs[..., 2] > 0)
 
         def sample(img, u, v):
+            # Flattened linear-index gather: the 2-D ((y, x) tuple) indexing
+            # form lowers to a general gather that is ~an order of magnitude
+            # slower on TPU (same fix as frontend/sift.py _bilinear).
+            flat = img.ravel()
             u = jnp.clip(u, 0.0, W - 1.001)
             v = jnp.clip(v, 0.0, H - 1.001)
             x0 = jnp.floor(u).astype(jnp.int32)
             y0 = jnp.floor(v).astype(jnp.int32)
             fu = u - x0
             fv = v - y0
+            base = y0 * W + x0
             return (
-                img[y0, x0] * (1 - fv) * (1 - fu)
-                + img[y0, x0 + 1] * (1 - fv) * fu
-                + img[y0 + 1, x0] * fv * (1 - fu)
-                + img[y0 + 1, x0 + 1] * fv * fu
+                flat[base] * (1 - fv) * (1 - fu)
+                + flat[base + 1] * (1 - fv) * fu
+                + flat[base + W] * fv * (1 - fu)
+                + flat[base + W + 1] * fv * fu
             )
 
         warped = jax.vmap(sample)(src_imgs, u, v)  # (S, H, W)
