@@ -143,13 +143,18 @@ def plane_sweep_depth(
 
     def zncc_maps(a, b):
         """5x5 ZNCC between two images, same shape."""
-        k = jnp.ones((5, 5)) / 25.0
+        # Separable box blur as Toeplitz MATMULS (zero-pad semantics match
+        # the 'SAME' conv this replaces): a 1-channel conv cannot tile onto
+        # the MXU and lowered to a scalar path — the 1280 such convs across
+        # (depth, source) made plane-sweep ~5 s/map (roofline r3).
+        from gtsfm_tpu.frontend.sift import _toeplitz_blur_matrix
+
+        k1 = np.ones(5, np.float32) / 5.0
+        By = jnp.asarray(_toeplitz_blur_matrix(a.shape[0], k1, pad="zero"))
+        Bx = jnp.asarray(_toeplitz_blur_matrix(a.shape[1], k1, pad="zero"))
 
         def blur(x):
-            return jax.lax.conv_general_dilated(
-                x[None, None], k[None, None], (1, 1), "SAME",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            )[0, 0]
+            return By @ x @ Bx.T
 
         ma, mb = blur(a), blur(b)
         va = blur(a * a) - ma * ma

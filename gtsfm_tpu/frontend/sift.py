@@ -67,19 +67,27 @@ def _blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _toeplitz_blur_matrix_cached(n: int, kernel_bytes: bytes) -> np.ndarray:
+def _toeplitz_blur_matrix_cached(n: int, kernel_bytes: bytes,
+                                 pad: str) -> np.ndarray:
     kernel = np.frombuffer(kernel_bytes, dtype=np.float32)
     r = kernel.shape[0] // 2
     B = np.zeros((n, n), np.float32)
     rows = np.arange(n)
     for t in range(kernel.shape[0]):
-        cols = np.clip(rows + t - r, 0, n - 1)
-        np.add.at(B, (rows, cols), kernel[t])
+        cols = rows + t - r
+        if pad == "edge":
+            np.add.at(B, (rows, np.clip(cols, 0, n - 1)), kernel[t])
+        else:  # zero padding: out-of-range taps drop
+            ok = (cols >= 0) & (cols < n)
+            np.add.at(B, (rows[ok], cols[ok]), kernel[t])
     return B
 
 
-def _toeplitz_blur_matrix(n: int, kernel: np.ndarray) -> np.ndarray:
-    return _toeplitz_blur_matrix_cached(int(n), kernel.astype(np.float32).tobytes())
+def _toeplitz_blur_matrix(n: int, kernel: np.ndarray,
+                          pad: str = "edge") -> np.ndarray:
+    return _toeplitz_blur_matrix_cached(
+        int(n), kernel.astype(np.float32).tobytes(), pad
+    )
 
 
 def _maxpool3(x: jnp.ndarray) -> jnp.ndarray:

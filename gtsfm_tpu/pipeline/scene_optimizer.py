@@ -238,6 +238,13 @@ class SceneOptimizer:
             sizes.append((img.width, img.height))
         # Pass 2 (device): batched detection over shape-uniform chunks.
         B = max(1, int(cfg.detect_batch))
+        if B == 8 and jax.default_backend() == "tpu":
+            # Auto-tune (r3, measured): vmapping the gather-heavy SIFT
+            # sampler pessimizes it on TPU (vmap x8 = 39.7 ms/img vs 19.8
+            # single at 760x512 — batched gathers lower to a slower general
+            # gather), while CPU prefers the batch for core utilization.
+            # Only overrides the DEFAULT batch; explicit configs win.
+            B = 1
         batched = jax.jit(jax.vmap(detect)) if B > 1 else None
         for shape, idxs in misses.items():
             for s in range(0, len(idxs), B):

@@ -6,7 +6,8 @@ from XLA's own cost model (compiled.cost_analysis()) — no hand-counting, so
 the numbers are falsifiable against the actual compiled HLO. Prints a
 markdown table for PERF.md.
 
-    python scripts/roofline.py          # on the real TPU
+    python scripts/roofline.py --cost   # pass 1: CPU-process cost model
+    python scripts/roofline.py          # pass 2: time on the real TPU
     python scripts/roofline.py --cpu    # smoke only (peaks are TPU's)
 """
 
@@ -30,17 +31,39 @@ def _timed(fn, *args, n=5):
     return timing.time_fn(fn, *args, n=n)
 
 
-def analyze(name, fn, args, f32=True):
+_COST_CACHE: dict = {}  # name -> (flops, bytes); loaded in --time mode
+_MODE = "time"
+
+
+def analyze(name, fn, args, f32=True, cost=None):
+    """Two modes (module global _MODE):
+
+    'cost': compile fn for the CPU backend and record XLA's flop/byte
+      model — run in a PURE-CPU process (`--cost`); a mixed axon+cpu
+      process deadlocks in the compile path (observed r3), and
+      compiled.cost_analysis() through the axon plugin hangs outright.
+    'time': measure wall time on the real device (honest host-fetch
+      barrier), joining the cost table produced by the cost pass.
+    """
     import jax
 
+    if _MODE == "cost":
+        if cost is not None:
+            flops, raw_bytes = cost  # analytic override (Pallas kernels
+            # can't lower for CPU)
+        else:
+            ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            raw_bytes = float(ca.get("bytes accessed", 0.0))
+        return {"name": name, "flops": flops, "bytes": raw_bytes}
+
+    if cost is not None:
+        flops, raw_bytes = cost
+    else:
+        flops, raw_bytes = _COST_CACHE.get(name, (0.0, 0.0))
     jfn = jax.jit(fn)
-    lowered = jfn.lower(*args)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    raw_bytes = float(ca.get("bytes accessed", 0.0))
     dt = _timed(jfn, *args)
     peak = PEAK_FLOPS_F32 if f32 else PEAK_FLOPS_BF16
     t_flops = flops / peak
@@ -48,7 +71,7 @@ def analyze(name, fn, args, f32=True):
     bound = max(t_flops, t_bytes)
     frac = bound / dt if dt > 0 else 0.0
     limiter = "MXU" if t_flops >= t_bytes else "HBM"
-    return {
+    row = {
         "name": name,
         "ms": dt * 1e3,
         "gflops": flops / 1e9,
@@ -57,6 +80,15 @@ def analyze(name, fn, args, f32=True):
         "roofline_pct": 100.0 * frac,
         "limiter": limiter,
     }
+    # Stream each row as it completes (rows() builds the full list before
+    # main's print loop runs — without this nothing prints for an hour).
+    print(
+        f"| {row['name']} | {row['ms']:.2f} | {row['gflops']:.1f} | "
+        f"{row['gbytes']:.2f} | {row['mfu_pct']:.1f} | {row['roofline_pct']:.0f} "
+        f"| {row['limiter']} |",
+        flush=True,
+    )
+    return row
 
 
 def rows(small=False):
@@ -106,11 +138,12 @@ def rows(small=False):
     sift_sizes = ((128, 96),) if small else ((760, 512), (1088, 736))
     for h, w in sift_sizes:
         img = jnp.asarray(rng.uniform(0, 1, size=(h, w)).astype(np.float32))
-        fn = jax.jit(lambda im: sift.detect_and_describe(im, max_keypoints=4096))
-        r = out.append(analyze(f"sift {h}x{w}", lambda im: sift.detect_and_describe(im, max_keypoints=4096), (img,)))
-        feats = fn(img)
-        checksum = float(jnp.sum(feats.response) + jnp.sum(jnp.abs(feats.descriptor)))
-        out[-1]["name"] += f" (checksum {checksum:.3e})"
+        out.append(analyze(f"sift {h}x{w}", lambda im: sift.detect_and_describe(im, max_keypoints=4096), (img,)))
+        if _MODE == "time":
+            fn = jax.jit(lambda im: sift.detect_and_describe(im, max_keypoints=4096))
+            feats = fn(img)
+            checksum = float(jnp.sum(feats.response) + jnp.sum(jnp.abs(feats.descriptor)))
+            out[-1]["name"] += f" (checksum {checksum:.3e})"
 
     # ---- Banded BA GN step (the LM inner loop).
     import dataclasses
@@ -137,8 +170,12 @@ def rows(small=False):
                 jnp.broadcast_to(Xj, (obs, 3)),
             )
         )(jnp.asarray(cam_idx), jnp.asarray(X))
+        # ONE bulk device->host fetch: per-element uv[j, k] indexing issues
+        # n_tracks*obs separate ~24 ms tunnel round-trips (54 minutes at
+        # 16k tracks — the "hung roofline" of r3).
+        uv_np = np.asarray(uv)
         tracks = [
-            [(int(cam_idx[j, k]), np.asarray(uv[j, k])) for k in range(obs)]
+            [(int(cam_idx[j, k]), uv_np[j, k]) for k in range(obs)]
             for j in range(n_tracks)
         ]
         sc = scene_mod.make_scene(wRi, wti, cal, tracks)
@@ -172,6 +209,8 @@ def rows(small=False):
             lambda a, b, c, m: attn.masked_attention(a, b, c, m,
                                                      use_pallas=use_pallas),
             (q, kk, v, km),
+            cost=(2 * 2 * BH * K * K * Dh, 4 * BH * K * Dh * 4 + BH * K * 4)
+            if use_pallas else None,
         ))
 
     # ---- Plane-sweep MVS depth.
@@ -192,26 +231,41 @@ def rows(small=False):
     return out
 
 
+COST_JSON = "/tmp/roofline_cost.json"
+
+
 def main():
+    global _MODE
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cost", action="store_true",
+                    help="pure-CPU cost-model pass; writes " + COST_JSON)
     args = ap.parse_args()
+    import json
+
     import jax
 
-    if args.cpu:
+    if args.cpu or args.cost:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", __import__("gtsfm_tpu.common.cache_dirs", fromlist=["compile_cache_dir"]).compile_cache_dir())
+    if args.cost:
+        _MODE = "cost"
+        table = {}
+        for r in rows(small=args.small):
+            table[r["name"]] = (r["flops"], r["bytes"])
+            print(f"cost: {r['name']}: {r['flops']/1e9:.1f} GFLOP "
+                  f"{r['bytes']/1e9:.2f} GB", flush=True)
+        with open(COST_JSON, "w") as f:
+            json.dump(table, f)
+        return
+    if os.path.exists(COST_JSON):
+        with open(COST_JSON) as f:
+            _COST_CACHE.update({k: tuple(v) for k, v in json.load(f).items()})
     print(f"platform: {jax.devices()[0].platform}")
     print("| kernel | ms | GFLOP | GB | MFU % | % of roofline | limiter |")
-    print("|---|---|---|---|---|---|---|")
-    for r in rows(small=args.small):
-        print(
-            f"| {r['name']} | {r['ms']:.2f} | {r['gflops']:.1f} | "
-            f"{r['gbytes']:.2f} | {r['mfu_pct']:.1f} | {r['roofline_pct']:.0f} "
-            f"| {r['limiter']} |",
-            flush=True,
-        )
+    print("|---|---|---|---|---|---|---|", flush=True)
+    rows(small=args.small)  # analyze() streams each row as it completes
 
 
 if __name__ == "__main__":

@@ -58,7 +58,8 @@ cam_idx = (start[:, None] + np.arange(OBS)[None]).astype(np.int32)
 uv, _ = jax.vmap(lambda ci, Xj: cameras.project_bundler(
     jnp.asarray(wRi)[ci], jnp.asarray(wti)[ci], jnp.asarray(cal)[ci],
     jnp.broadcast_to(Xj, (OBS, 3))))(jnp.asarray(cam_idx), jnp.asarray(X))
-tracks = [[(int(cam_idx[j, k]), np.asarray(uv[j, k])) for k in range(OBS)]
+uv_np = np.asarray(uv)  # one bulk fetch (per-element indexing = one RTT each)
+tracks = [[(int(cam_idx[j, k]), uv_np[j, k]) for k in range(OBS)]
           for j in range(n_tracks)]
 sc = scene_mod.make_scene(wRi, wti, cal, tracks)
 sc = dataclasses.replace(sc, points=sc.points.at[:n_tracks].set(jnp.asarray(X)))
