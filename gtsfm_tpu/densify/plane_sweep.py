@@ -127,19 +127,24 @@ def plane_sweep_depth(
 ):
     """Returns (depth (H, W), confidence (H, W)).
 
-    Cost: 5x5 ZNCC between ref and each warped src per depth plane; per-pixel
-    aggregation = mean of the best half of sources; winner-take-all over
-    depths with parabolic refinement; confidence = softmax margin.
+    Coarse-to-fine sweep (r3): the cost volume's bilinear warps are
+    gather-bound on TPU (~100M samples/s; a full-resolution D-plane sweep
+    is 314M samples = a ~3 s floor at VGA). Stage 1 sweeps ALL depth
+    planes at quarter resolution (1/16 the samples); stage 2 refines the
+    upsampled winning index with 5 per-pixel depth planes at full
+    resolution — ~7x fewer gathers for the same inverse-depth resolution.
+
+    Cost: 5x5 ZNCC between ref and each warped src; per-pixel aggregation =
+    mean of the best half of sources; winner-take-all over depths with
+    parabolic refinement; confidence = NCC margin.
     """
     H, W = ref_img.shape
     S = src_imgs.shape[0]
+    D = num_depths
+    inv_lo, inv_hi = 1.0 / d_max, 1.0 / d_min
 
-    inv_d = jnp.linspace(1.0 / d_max, 1.0 / d_min, num_depths)
-    depths = 1.0 / inv_d  # (D,)
-
-    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1)  # (H, W, 3)
-    rays = jnp.einsum("ij,hwj->hwi", jnp.linalg.inv(K_ref), pix)  # (H, W, 3)
+    def depth_of_index(i):
+        return 1.0 / jnp.maximum(inv_lo + (inv_hi - inv_lo) * i / (D - 1), 1e-9)
 
     def zncc_maps(a, b):
         """5x5 ZNCC between two images, same shape."""
@@ -162,61 +167,98 @@ def plane_sweep_depth(
         cov = blur(a * b) - ma * mb
         return cov / jnp.sqrt(jnp.maximum(va * vb, 1e-8))
 
-    def cost_for_depth(d):
-        # Warp each src to the ref frame at depth plane d.
-        X = rays * d  # (H, W, 3) in ref cam frame
-        Xs = jnp.einsum("sij,hwj->shwi", sRr, X) + str_[:, None, None, :]
-        z = jnp.maximum(Xs[..., 2], 1e-6)
-        uv = jnp.einsum("sij,shwj->shwi", K_src, Xs / z[..., None])  # (S, H, W, 3)
-        u = uv[..., 0]
-        v = uv[..., 1]
-        inb = (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1) & (Xs[..., 2] > 0)
+    def make_cost(ref, srcs, Kr, Ks):
+        """cost(dmap (h, w)) -> ZNCC score (h, w) at per-pixel depths."""
+        h, w = ref.shape
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1)
+        rays = jnp.einsum("ij,hwj->hwi", jnp.linalg.inv(Kr), pix)
 
         def sample(img, u, v):
-            # Flattened linear-index gather: the 2-D ((y, x) tuple) indexing
-            # form lowers to a general gather that is ~an order of magnitude
-            # slower on TPU (same fix as frontend/sift.py _bilinear).
+            # Flat linear-index gather ((y, x)-tuple indexing lowers to a
+            # ~10x slower general gather; same fix as frontend/sift.py).
             flat = img.ravel()
-            u = jnp.clip(u, 0.0, W - 1.001)
-            v = jnp.clip(v, 0.0, H - 1.001)
+            u = jnp.clip(u, 0.0, w - 1.001)
+            v = jnp.clip(v, 0.0, h - 1.001)
             x0 = jnp.floor(u).astype(jnp.int32)
             y0 = jnp.floor(v).astype(jnp.int32)
             fu = u - x0
             fv = v - y0
-            base = y0 * W + x0
+            base = y0 * w + x0
             return (
                 flat[base] * (1 - fv) * (1 - fu)
                 + flat[base + 1] * (1 - fv) * fu
-                + flat[base + W] * fv * (1 - fu)
-                + flat[base + W + 1] * fv * fu
+                + flat[base + w] * fv * (1 - fu)
+                + flat[base + w + 1] * fv * fu
             )
 
-        warped = jax.vmap(sample)(src_imgs, u, v)  # (S, H, W)
-        ncc = jax.vmap(lambda wimg: zncc_maps(ref_img, wimg))(warped)  # (S, H, W)
-        score = jnp.where(inb, ncc, -1.0)
-        # Aggregate: mean of top half of sources (robust to occlusion).
-        k = max(S // 2, 1)
-        top, _ = jax.lax.top_k(jnp.moveaxis(score, 0, -1), k)  # (H, W, k)
-        return jnp.mean(top, -1)  # (H, W)
+        def cost(dmap):
+            X = rays * dmap[..., None]  # (h, w, 3) ref-cam frame
+            Xs = jnp.einsum("sij,hwj->shwi", sRr, X) + str_[:, None, None, :]
+            z = jnp.maximum(Xs[..., 2], 1e-6)
+            uv = jnp.einsum("sij,shwj->shwi", Ks, Xs / z[..., None])
+            u = uv[..., 0]
+            v = uv[..., 1]
+            inb = (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1) & (Xs[..., 2] > 0)
+            warped = jax.vmap(sample)(srcs, u, v)  # (S, h, w)
+            ncc = jax.vmap(lambda wi: zncc_maps(ref, wi))(warped)
+            score = jnp.where(inb, ncc, -1.0)
+            k = max(S // 2, 1)  # mean of best half (occlusion robustness)
+            top, _ = jax.lax.top_k(jnp.moveaxis(score, 0, -1), k)
+            return jnp.mean(top, -1)  # (h, w)
 
-    scores = jax.lax.map(cost_for_depth, depths)  # (D, H, W)
+        return cost
 
-    best = jnp.argmax(scores, axis=0)  # (H, W)
-    best_score = jnp.max(scores, axis=0)
-    # Parabolic refinement over inverse depth.
-    D = num_depths
-    bm = jnp.clip(best, 1, D - 2)
-    s0 = jnp.take_along_axis(scores, (bm - 1)[None], 0)[0]
-    s1 = jnp.take_along_axis(scores, bm[None], 0)[0]
-    s2 = jnp.take_along_axis(scores, (bm + 1)[None], 0)[0]
+    # ---- Stage 1: full depth sweep at quarter resolution.
+    F = 4
+    Hc, Wc = H // F, W // F
+
+    def pool4(img):
+        return jnp.mean(
+            img[: Hc * F, : Wc * F].reshape(Hc, F, Wc, F), axis=(1, 3)
+        )
+
+    # Pixel-center mapping x_full = F*x_coarse + (F-1)/2 => K_c = S @ K.
+    S4 = jnp.asarray(
+        [[1.0 / F, 0.0, -(F - 1) / (2.0 * F)],
+         [0.0, 1.0 / F, -(F - 1) / (2.0 * F)],
+         [0.0, 0.0, 1.0]], jnp.float32,
+    )
+    cost_c = make_cost(
+        pool4(ref_img), jax.vmap(pool4)(src_imgs),
+        S4 @ K_ref, jnp.einsum("ij,sjk->sik", S4, K_src),
+    )
+    ones_c = jnp.ones((Hc, Wc), jnp.float32)
+    scores_c = jax.lax.map(
+        lambda i: cost_c(depth_of_index(i) * ones_c),
+        jnp.arange(D, dtype=jnp.float32),
+    )  # (D, Hc, Wc)
+    best_c = jnp.argmax(scores_c, axis=0).astype(jnp.float32)  # (Hc, Wc)
+
+    # ---- Stage 2: refine 5 planes around the upsampled winner, full res.
+    best_f = jnp.repeat(jnp.repeat(best_c, F, 0), F, 1)
+    best_f = jnp.pad(
+        best_f, ((0, H - best_f.shape[0]), (0, W - best_f.shape[1])),
+        mode="edge",
+    )
+    bm = jnp.clip(best_f, 2.0, D - 3.0)  # (H, W)
+    cost_f = make_cost(ref_img, src_imgs, K_ref, K_src)
+    offs = jnp.arange(-2.0, 3.0)  # 5 refinement planes
+    scores5 = jax.lax.map(lambda o: cost_f(depth_of_index(bm + o)), offs)
+    # (5, H, W)
+    best5 = jnp.argmax(scores5, axis=0)  # in [0, 5)
+    b5 = jnp.clip(best5, 1, 3)
+    s0 = jnp.take_along_axis(scores5, (b5 - 1)[None], 0)[0]
+    s1 = jnp.take_along_axis(scores5, b5[None], 0)[0]
+    s2 = jnp.take_along_axis(scores5, (b5 + 1)[None], 0)[0]
     denom = s0 - 2 * s1 + s2
     frac = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (s0 - s2) / denom, 0.0)
     frac = jnp.clip(frac, -0.5, 0.5)
-    idx = bm.astype(jnp.float32) + frac
-    inv_lo, inv_hi = 1.0 / d_max, 1.0 / d_min
-    inv_depth = inv_lo + (inv_hi - inv_lo) * idx / (D - 1)
-    depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
+    idx = jnp.clip(bm + (b5.astype(jnp.float32) - 2.0) + frac, 0.0, D - 1.0)
+    depth = depth_of_index(idx)
 
+    best_score = jnp.max(scores5, axis=0)
     # Confidence: margin of the winning NCC (in [0, 1] approx).
     conf = jnp.clip(0.5 * (best_score + 1.0), 0.0, 1.0)
     return depth, conf
