@@ -6,16 +6,31 @@ gtsfm/utils/verification.py:52). The reference runs a data-dependent C++
 RANSAC loop per pair on a Dask worker; here ALL pairs x ALL hypotheses are
 evaluated in one fixed-shape XLA program (SURVEY.md section 7 "hard parts" #2):
 
-  sample S minimal sets x P pairs -> batched 8-point (eigh of 9x9 normal
-  matrices) -> Sampson scoring of N correspondences against S hypotheses on
-  the MXU -> per-pair argmax -> local optimization (LO-RANSAC style weighted
-  refits on the inlier set, matching pycolmap LORANSAC semantics at
-  loransac.py:16) -> cheirality pose recovery.
+  1. HYPOTHESES — three-quarters of the minimal-sample budget goes to
+     5-point samples solved by the batched Nistér polynomial solver
+     (geometry/fivepoint.py, up to 10 essential matrices per sample: the
+     same minimal solver cv2's USAC runs, so the per-sample success rate is
+     eps^5 at inlier ratio eps, not the eps^8 of a linear 8-point sample);
+     the rest goes to 4-point homography samples decomposed into E
+     candidates (Faugeras-Lustman), which keep near-planar/low-parallax
+     pairs well-served even when noise degrades the polynomial solve.
+  2. PRE-GATE — the pool (10 candidates per 5-pt sample) is scored in
+     bfloat16 on a fixed random subsample of correspondences via one MXU
+     matmul (Sampson distance as 5 linear functionals of vec(E)); the top
+     `max_scored` candidates per pair move on. This is what makes a
+     USAC-grade sample budget affordable: full-resolution scoring bytes are
+     independent of the pool size.
+  3. FULL SCORE — survivors are scored in f32 on every correspondence
+     (same MXU formulation), MSAC-truncated; per-pair argmax.
+  4. LO + POLISH — LO-RANSAC weighted 8-point refits on the running inlier
+     set (matching pycolmap LORANSAC semantics, loransac.py:16), final
+     consensus refit, cheirality pose recovery.
 
-Early exit is deliberately traded for fixed-budget parallelism: with S ~ 512
-hypotheses the success probability at 50% inliers exceeds the reference's
-0.999999 USAC setting (1 - (1 - 0.5^8)^512 ~ 0.87 per *single* round, and the
-LO refit pulls in the full inlier set, so the effective budget matches).
+Early exit is traded for fixed-budget parallelism: with the default budget
+(384 five-point samples) the success probability at 50% inliers is
+1 - (1 - 0.5^5)^384 = 1 - 5e-6, matching the reference's 0.999999 USAC
+confidence setting; see PERF.md for the measured success-vs-outlier-ratio
+curve against the 8-point variant.
 """
 
 from __future__ import annotations
@@ -26,7 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gtsfm_tpu.geometry import epipolar
+from gtsfm_tpu.geometry import epipolar, fivepoint
 
 
 class TwoViewResult(NamedTuple):
@@ -52,8 +67,52 @@ def _sample_minimal_sets(key, mask, num_hypotheses: int, sample_size: int):
     return idx
 
 
+def _sampson_sq_mxu(E_flat: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Squared Sampson distances for many models x many points, MXU-routed.
+
+    The Sampson distance depends on vec(E) through 5 linear functionals per
+    correspondence: x2h^T E x1h (numerator) and the first two components of
+    E x1h and E^T x2h (denominator). Stacking their coefficient rows gives
+    ONE (P, 5N, 9) @ (P, 9, S) matmul instead of the (P, S, N, 3) einsum
+    chains that made the r3 kernel byte-bound at 5-8%% of roofline
+    (PERF.md roofline table; VERDICT r3 item 3).
+
+    E_flat: (P, S, 9) row-major vec(E); x1, x2: (P, N, 2).
+    Returns (P, S, N) squared Sampson distances in float32.
+    """
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    o = jnp.ones_like(u1)
+    z = jnp.zeros_like(u1)
+    C = jnp.stack(
+        [
+            jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, o], -1),
+            jnp.stack([u1, v1, o, z, z, z, z, z, z], -1),
+            jnp.stack([z, z, z, u1, v1, o, z, z, z], -1),
+            jnp.stack([u2, z, z, v2, z, z, o, z, z], -1),
+            jnp.stack([z, u2, z, z, v2, z, z, o, z], -1),
+        ],
+        axis=-2,
+    )  # (P, N, 5, 9)
+    P, N = u1.shape
+    G = jnp.einsum(
+        "pnk,psk->pns",
+        C.reshape(P, N * 5, 9).astype(dtype),
+        E_flat.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )  # (P, 5N, S)
+    G = G.reshape(P, N, 5, -1)
+    num = G[:, :, 0] ** 2
+    den = G[:, :, 1] ** 2 + G[:, :, 2] ** 2 + G[:, :, 3] ** 2 + G[:, :, 4] ** 2
+    d = num / jnp.maximum(den, 1e-12)
+    return jnp.swapaxes(d, 1, 2)  # (P, S, N)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_hypotheses", "lo_iterations")
+    jax.jit,
+    static_argnames=("num_hypotheses", "lo_iterations", "prescreen_corrs",
+                     "max_scored", "minimal_solver"),
 )
 def verify_essential_batched(
     key: jax.Array,
@@ -65,6 +124,9 @@ def verify_essential_batched(
     lo_iterations: int = 2,
     min_inliers: int = 15,
     min_inlier_ratio: float = 0.1,
+    prescreen_corrs: int = 256,
+    max_scored: int = 512,
+    minimal_solver: str = "nister5",
 ) -> TwoViewResult:
     """Verify P image pairs at once.
 
@@ -74,52 +136,63 @@ def verify_essential_batched(
       mask: (P, N) 1.0 for real correspondences.
       threshold: per-pair Sampson threshold in normalized coords — typically
         ``px_thresh / focal_mean`` (reference uses 4 px / f). Scalar or (P,).
-      num_hypotheses: hypothesis budget S per pair.
+      num_hypotheses: minimal-SAMPLE budget per pair (3/4 five-point +
+        1/8 four-point-homography; each 5-pt sample contributes up to 10
+        essential candidates, each H sample 2).
       lo_iterations: inner weighted-refit (local optimization) rounds.
       min_inliers / min_inlier_ratio: the reference's InlierSupportProcessor
         gates (frontend/inlier_support_processor.py:19 — 15 / 0.1).
+      prescreen_corrs: correspondence subsample size for the bf16 pre-gate.
+      max_scored: candidates per pair that survive to full f32 scoring.
+      minimal_solver: "nister5" (default; USAC-grade eps^5 sampling) or
+        "eight" (legacy linear 8-point sampling, kept for the measured
+        robustness A/B in PERF.md — eps^8 per-sample success).
     """
     P, N, _ = x1.shape
     threshold = jnp.broadcast_to(jnp.asarray(threshold, x1.dtype), (P,))
     thresh_sq = threshold**2
 
-    # Hypothesis budget: 3/4 from 8-point minimal samples + 1/4 from
-    # homography decompositions (each 4-point H sample yields 2 E candidates).
-    # The H-derived pool is what keeps low-parallax / near-planar pairs
-    # solvable: coplanar points are RANK-DEFICIENT for the linear 8-point
-    # system, so its minimal samples almost never produce an accurate E on
-    # shallow scenes (aerial surveys), while a 4-point H fit is
-    # well-conditioned there and decomposes to the true relative pose
-    # (epipolar.essentials_from_homography). The reference inherits this
-    # robustness from the planar-safe 5-point solver inside
-    # cv2.findEssentialMat (ransac.py:74); this is the fixed-shape batched
-    # counterpart.
-    S8 = (3 * num_hypotheses) // 4
-    SH = max((num_hypotheses - S8) // 2, 1)
+    S5 = max((3 * num_hypotheses) // 4, 1)
+    SH = max(num_hypotheses // 8, 1)
 
-    keys = jax.random.split(key, 2 * P).reshape(2, P, -1)
-    sample_idx = jax.vmap(
-        lambda k, m: _sample_minimal_sets(k, m, S8, 8)
-    )(keys[0], mask)  # (P, S8, 8)
-    sample_idx4 = jax.vmap(
-        lambda k, m: _sample_minimal_sets(k, m, SH, 4)
-    )(keys[1], mask)  # (P, SH, 4)
+    keys = jax.random.split(key, 3 * P).reshape(3, P, -1)
+    idx4 = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, SH, 4))(keys[1], mask)
 
     def take(pts, idx):
         return jnp.take_along_axis(
             pts[:, None, :, :].repeat(idx.shape[1], axis=1), idx[..., None], axis=2
         )
 
-    # 8-point hypotheses: (P, S8, 3, 3)
-    E_8 = epipolar.essential_from_eight_point(
-        take(x1, sample_idx), take(x2, sample_idx)
-    )
-    # Homography-decomposition hypotheses: (P, SH, 2, 3, 3) -> (P, 2*SH, 3, 3)
+    if minimal_solver == "nister5":
+        # Nistér 5-point hypotheses: (P, S5, 10, 3, 3) -> (P, 10*S5, 3, 3).
+        idx5 = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, S5, 5))(keys[0], mask)
+        E_5, valid_5 = fivepoint.essential_from_five_point(
+            take(x1, idx5), take(x2, idx5)
+        )
+        E_5 = E_5.reshape(P, 10 * S5, 3, 3)
+        valid_5 = valid_5.reshape(P, 10 * S5)
+    elif minimal_solver == "eight":
+        idx8 = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, S5, 8))(keys[0], mask)
+        E_5 = epipolar.essential_from_eight_point(take(x1, idx8), take(x2, idx8))
+        valid_5 = jnp.ones((P, S5), bool)
+    else:
+        raise ValueError(f"unknown minimal_solver {minimal_solver!r}")
+
+    # Homography-decomposition hypotheses: 2 per 4-point sample. Kept beside
+    # the 5-point pool: when pixel noise degrades the polynomial solve on
+    # low-parallax pairs, a 4-point H fit stays well-conditioned and its
+    # Faugeras-Lustman decomposition still lands near the true pose.
     from gtsfm_tpu.ops.verifiers import homography_from_four_point
 
-    H_h = homography_from_four_point(take(x1, sample_idx4), take(x2, sample_idx4))
+    H_h = homography_from_four_point(take(x1, idx4), take(x2, idx4))
     E_H = epipolar.essentials_from_homography(H_h).reshape(P, 2 * SH, 3, 3)
-    E_h = jnp.concatenate([E_8, E_H], axis=1)  # (P, S, 3, 3)
+
+    E_pool = jnp.concatenate([E_5, E_H], axis=1)  # (P, S_pool, 3, 3)
+    valid_pool = jnp.concatenate(
+        [valid_5, jnp.ones((P, 2 * SH), bool)], axis=1
+    )
+    S_pool = E_pool.shape[1]
+    E_pool_flat = E_pool.reshape(P, S_pool, 9)
 
     def msac_score(d, m):
         """Truncated-residual (MSAC) score, higher = better. Count-based
@@ -130,11 +203,33 @@ def verify_essential_batched(
         t_sq = thresh_sq.reshape((P,) + (1,) * (d.ndim - 1))
         return jnp.sum(jnp.maximum(1.0 - d / t_sq, 0.0) * m, axis=-1)
 
-    # Score every correspondence against every hypothesis: (P, S, N)
-    d = epipolar.sampson_distance_sq(E_h, x1[:, None], x2[:, None])
+    # --- Pre-gate: rank the pool on a correspondence subsample in bf16.
+    K = min(max_scored, S_pool)
+    if S_pool > K:
+        M_sub = min(prescreen_corrs, N)
+        sub_idx = jax.vmap(
+            lambda k, m: _sample_minimal_sets(k, m, 1, M_sub)[0]
+        )(keys[2], mask)  # (P, M_sub) distinct, valid-first
+        take_n = lambda a: jnp.take_along_axis(a, sub_idx, axis=1)
+        x1_s = jnp.take_along_axis(x1, sub_idx[..., None], axis=1)
+        x2_s = jnp.take_along_axis(x2, sub_idx[..., None], axis=1)
+        mask_s = take_n(mask)
+        d_pre = _sampson_sq_mxu(E_pool_flat, x1_s, x2_s, dtype=jnp.bfloat16)
+        pre = msac_score(d_pre, mask_s[:, None, :])
+        pre = jnp.where(valid_pool, pre, -jnp.inf)
+        _, top_idx = jax.lax.top_k(pre, K)  # (P, K)
+        E_h = jnp.take_along_axis(E_pool, top_idx[..., None, None], axis=1)
+        valid_h = jnp.take_along_axis(valid_pool, top_idx, axis=1)
+    else:
+        E_h = E_pool
+        valid_h = valid_pool
+
+    # --- Full f32 scoring of the survivors on every correspondence.
+    d = _sampson_sq_mxu(E_h.reshape(P, K, 9), x1, x2, dtype=jnp.float32)
     d = jnp.where(jnp.isfinite(d), d, jnp.inf)
     inl = (d < thresh_sq[:, None, None]) & (mask[:, None, :] > 0)
-    scores = msac_score(d, mask[:, None, :])  # (P, S)
+    scores = msac_score(d, mask[:, None, :])  # (P, K)
+    scores = jnp.where(valid_h, scores, -jnp.inf)
     best = jnp.argmax(scores, axis=-1)  # (P,)
 
     w_best = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0].astype(x1.dtype)

@@ -29,7 +29,7 @@ def test_ransac_rejects_outliers(rng):
         x2c[None],
         jnp.ones((1, 200)),
         threshold=4.0 / 1000.0,  # ~4px at f=1000
-        num_hypotheses=256,
+        num_hypotheses=512,
     )
     assert bool(res.success[0])
     # Rotation within 1 deg, direction within 2 deg.
