@@ -138,6 +138,10 @@ def plane_sweep_depth(
     mean of the best half of sources; winner-take-all over depths with
     parabolic refinement; confidence = NCC margin.
     """
+    if num_depths < 5:
+        # Stage 2 clips the coarse winner to [2, D-3]; below 5 planes the
+        # bounds invert and jnp.clip would silently return garbage indices.
+        raise ValueError(f"plane_sweep_depth needs num_depths >= 5, got {num_depths}")
     H, W = ref_img.shape
     S = src_imgs.shape[0]
     D = num_depths

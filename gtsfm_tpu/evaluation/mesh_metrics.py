@@ -5,10 +5,11 @@ Feature parity with reference gtsfm/utils/metrics.py:131
 astrovision scenes where a GT surface mesh exists and epipolar checks are
 weak at low parallax. The reference backprojects a ray per keypoint with
 trimesh's embree wrapper and projects the hit through the other GT camera;
-here the ray-triangle intersection is a batched Möller–Trumbore over ALL
-(ray, face) pairs on the MXU — one einsum-shaped program instead of a
-BVH traversal, which at astrovision fixture scale (10k faces x ~2k rays)
-is a ~60 MFLOP tensor op, far below one device dispatch's latency floor.
+here the ray-triangle intersection is a batched Möller–Trumbore over
+(ray, face) pairs — face-tiled under a lax.scan with a running min-t so
+memory stays bounded on real meshes — instead of a BVH traversal; at
+astrovision fixture scale (10k faces x ~2k rays) it is a ~60 MFLOP tensor
+op, far below one device dispatch's latency floor.
 
 Also provides the minimal PLY mesh reader the astrovision fixtures need
 (binary little-endian or ascii, xyz[+extras] vertices, uchar-count int
@@ -126,39 +127,77 @@ def read_ply_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(tris, np.int32)
 
 
+def _min_hit_t_for_faces(
+    origins: jnp.ndarray,  # (N, 3)
+    dirs: jnp.ndarray,  # (N, 3)
+    vertices: jnp.ndarray,  # (V, 3)
+    faces: jnp.ndarray,  # (Fc, 3) int
+    eps: float,
+) -> jnp.ndarray:
+    """Min valid Möller–Trumbore t per ray over ONE face tile -> (N,), inf if none."""
+    v0 = vertices[faces[:, 0]]  # (Fc, 3)
+    e1 = vertices[faces[:, 1]] - v0
+    e2 = vertices[faces[:, 2]] - v0
+    # All pairs: rays (N, 1, 3) vs faces (1, Fc, 3).
+    d = dirs[:, None, :]
+    h = jnp.cross(d, e2[None])  # (N, Fc, 3)
+    a = jnp.sum(e1[None] * h, axis=-1)  # (N, Fc)
+    parallel = jnp.abs(a) < eps
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = origins[:, None, :] - v0[None]  # (N, Fc, 3)
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1[None])
+    v = f * jnp.sum(d * q, axis=-1)
+    t = f * jnp.sum(e2[None] * q, axis=-1)
+    # Barycentric tolerance: rays through a shared edge/vertex land exactly
+    # on the u/v bounds, where f32 rounding (which varies with XLA fusion)
+    # would otherwise drop the hit on EVERY adjacent face at once.
+    b_eps = 1e-4
+    valid = (
+        (~parallel)
+        & (u >= -b_eps) & (u <= 1.0 + b_eps)
+        & (v >= -b_eps) & (u + v <= 1.0 + b_eps)
+        & (t > eps)
+    )
+    return jnp.min(jnp.where(valid, t, jnp.inf), axis=1)
+
+
 def ray_mesh_first_hit(
     origins: jnp.ndarray,  # (N, 3)
     dirs: jnp.ndarray,  # (N, 3) need not be normalized
     vertices: jnp.ndarray,  # (V, 3)
     faces: jnp.ndarray,  # (F, 3) int
     eps: float = 1e-7,
+    face_chunk: int = 8192,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched Möller–Trumbore: first (min-t, t>eps) intersection per ray.
 
+    The faces axis is processed in `face_chunk` tiles under a lax.scan with a
+    running min-t, so peak memory is O(N * face_chunk) regardless of mesh
+    size — a real astrovision mesh (hundreds of thousands of faces) with
+    thousands of rays would otherwise materialize tens of GB of (N, F, 3)
+    intermediates and OOM the device.
+
     Returns (hit (N,) bool, points (N, 3); garbage where no hit).
     """
-    v0 = vertices[faces[:, 0]]  # (F, 3)
-    e1 = vertices[faces[:, 1]] - v0
-    e2 = vertices[faces[:, 2]] - v0
-    # All pairs: rays (N, 1, 3) vs faces (1, F, 3).
-    d = dirs[:, None, :]
-    h = jnp.cross(d, e2[None])  # (N, F, 3)
-    a = jnp.sum(e1[None] * h, axis=-1)  # (N, F)
-    parallel = jnp.abs(a) < eps
-    f = 1.0 / jnp.where(parallel, 1.0, a)
-    s = origins[:, None, :] - v0[None]  # (N, F, 3)
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1[None])
-    v = f * jnp.sum(d * q, axis=-1)
-    t = f * jnp.sum(e2[None] * q, axis=-1)
-    valid = (
-        (~parallel)
-        & (u >= 0.0) & (u <= 1.0)
-        & (v >= 0.0) & (u + v <= 1.0)
-        & (t > eps)
-    )
-    t_masked = jnp.where(valid, t, jnp.inf)
-    t_min = jnp.min(t_masked, axis=1)  # (N,)
+    F = faces.shape[0]
+    if F <= face_chunk:
+        t_min = _min_hit_t_for_faces(origins, dirs, vertices, faces, eps)
+    else:
+        pad = (-F) % face_chunk
+        # Index-0 padding makes degenerate (v0,v0,v0) triangles: zero edge
+        # vectors -> |a| < eps -> rejected as parallel, never a hit.
+        faces_p = jnp.concatenate(
+            [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0
+        ).reshape(-1, face_chunk, 3)
+
+        def step(t_run, f_tile):
+            t_c = _min_hit_t_for_faces(origins, dirs, vertices, f_tile, eps)
+            return jnp.minimum(t_run, t_c), None
+
+        t_min, _ = jax.lax.scan(
+            step, jnp.full(origins.shape[:1], jnp.inf, origins.dtype), faces_p
+        )
     hit = jnp.isfinite(t_min)
     pts = origins + jnp.where(hit, t_min, 0.0)[:, None] * dirs
     return hit, pts

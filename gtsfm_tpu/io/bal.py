@@ -33,21 +33,47 @@ _M_DIAG = np.diag([1.0, -1.0, -1.0]).astype(np.float64)
 
 
 def _rodrigues_to_R(w: np.ndarray) -> np.ndarray:
-    """SO(3) exp via the repo lie library (handles theta -> 0 and pi)."""
-    import jax.numpy as jnp
-
-    from gtsfm_tpu.geometry import lie
-
-    return np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)), np.float64)
+    """SO(3) exp in float64 numpy. BAL is a double-precision text format;
+    routing through the (float32) JAX lie library would perturb loaded
+    rotations by ~1e-7 before BA even starts (r3 ADVICE.md), so this IO
+    boundary keeps full precision."""
+    w = np.asarray(w, np.float64)
+    th = float(np.linalg.norm(w))
+    K = np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]],
+        np.float64,
+    )
+    if th < 1e-8:  # 2nd-order Taylor; exact to double precision here
+        return np.eye(3) + K + 0.5 * (K @ K)
+    a = np.sin(th) / th
+    b = (1.0 - np.cos(th)) / (th * th)
+    return np.eye(3) + a * K + b * (K @ K)
 
 
 def _R_to_rodrigues(R: np.ndarray) -> np.ndarray:
-    """SO(3) log via the repo lie library (robust at the pi antipode)."""
-    import jax.numpy as jnp
-
-    from gtsfm_tpu.geometry import lie
-
-    return np.asarray(lie.so3_log(jnp.asarray(R, jnp.float32)), np.float64)
+    """SO(3) log in float64 numpy (robust at theta -> 0 and near pi)."""
+    R = np.asarray(R, np.float64)
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = float(np.arccos(c))
+    v = np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], np.float64
+    )
+    if th < 1e-8:
+        return 0.5 * v
+    if th > np.pi - 1e-6:
+        # Near the antipode sin(th) ~ 0: recover the axis from the symmetric
+        # part (R + I)/2 = nn^T + O(pi - th); exp(pi n) == exp(-pi n) so the
+        # sign choice below is a convention, tie-broken toward vee(R - R^T).
+        A = (R + np.eye(3)) / 2.0
+        d = np.sqrt(np.maximum(np.diag(A), 0.0))
+        k = int(np.argmax(d))
+        n = A[k] / max(d[k], 1e-12)
+        n[k] = d[k]
+        if np.dot(n, v) < 0:
+            n = -n
+        n /= max(np.linalg.norm(n), 1e-12)
+        return th * n
+    return (th / (2.0 * np.sin(th))) * v
 
 
 def _snavely_to_scene_pose(R: np.ndarray, t: np.ndarray):

@@ -119,8 +119,13 @@ def triangulate_tracks_robust(
         C = 16  # hypotheses scored per chunk
         K2 = ((max_hypotheses + C - 1) // C) * C
         n_t = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (T,)
-        key = seed if isinstance(seed, jnp.ndarray) and seed.dtype == jnp.uint32 \
-            else jax.random.PRNGKey(seed)
+        if isinstance(seed, jnp.ndarray) and (
+            seed.dtype == jnp.uint32
+            or jnp.issubdtype(seed.dtype, jax.dtypes.prng_key)
+        ):
+            key = seed  # raw uint32 key array OR new-style typed key
+        else:
+            key = jax.random.PRNGKey(int(seed))
         u = jax.random.uniform(key, (T, K2, 2))
         na = jnp.maximum(n_t, 1)[:, None]
         a = jnp.minimum((u[..., 0] * na).astype(jnp.int32), na - 1)  # (T, K2)

@@ -68,8 +68,9 @@ def test_write_read_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded.wti)[:4], np.asarray(scene.wti)[:4], atol=1e-4
     )
+    # f64 Rodrigues at the IO boundary: the residual is f32 storage only.
     np.testing.assert_allclose(
-        np.asarray(loaded.wRi)[:4], np.asarray(scene.wRi)[:4], atol=1e-5
+        np.asarray(loaded.wRi)[:4], np.asarray(scene.wRi)[:4], atol=1e-6
     )
     # Round-tripped measurements still reproject exactly.
     assert float(np.max(np.asarray(loaded.reprojection_errors()[0]))) < 1e-2
