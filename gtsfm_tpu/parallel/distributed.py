@@ -111,6 +111,38 @@ def pair_sharded_verify(
     )
 
 
+def image_sharded_detect(mesh: Mesh, detect_fn, images: jnp.ndarray):
+    """Feature detection with the image batch sharded across the mesh.
+
+    TPU-native replacement for the reference's per-image Dask fan-out of
+    detector/descriptor tasks (det_desc_correspondence_generator.py:68).
+    Each device runs ``detect_fn`` SEQUENTIALLY over its local images via
+    lax.map — keeping the fast un-vmapped per-image program (vmapping the
+    gather-heavy SIFT sampler lowers its strided samples to a slower
+    general gather on TPU: 39.7 vs 19.8 ms/img at 760x512, PERF.md r3) —
+    while the batch axis parallelizes across devices.
+
+    images: (B, H, W) shape-uniform grayscale stack, B % mesh size == 0.
+    Returns the detect_fn output pytree with a leading (B, ...) axis.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert images.shape[0] % n_dev == 0, "pad images to a multiple of mesh size"
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+    )
+    def run(imgs_l):
+        return jax.lax.map(detect_fn, imgs_l)
+
+    (imgs,) = multihost.shard_inputs(mesh, (P(axis),), (images,))
+    out = run(imgs)
+    return multihost.gather_outputs(
+        mesh, jax.tree_util.tree_map(lambda _: P(axis), out), out
+    )
+
+
 # ---------------------------------------------------------------------------
 # Prior blocks (between factors), replicated
 # ---------------------------------------------------------------------------

@@ -28,7 +28,15 @@ class FrontendConfig:
     allow_random_weights: bool = False
     # Images per detection dispatch (vmapped over a shape-uniform chunk). >1
     # amortizes device round-trip latency; 1 restores per-image dispatch.
-    detect_batch: int = 8
+    # None = auto-tune per backend (8 on CPU; 1 on TPU, where vmapped
+    # gather-heavy SIFT sampling is measurably slower than per-image
+    # dispatch). An explicit value always wins.
+    detect_batch: int | None = None
+    # Shard the detection image batch over the device mesh (None = auto:
+    # on whenever >1 device is visible). Single-device batching above is
+    # the fallback. Reference analog: per-image Dask fan-out
+    # (det_desc_correspondence_generator.py:68).
+    detect_sharded: bool | None = None
     # LightGlue adaptivity (upstream defaults 0.95 / 0.99; None disables and
     # runs the full static-depth batched program, usually fastest on TPU).
     lightglue_depth_confidence: float | None = None

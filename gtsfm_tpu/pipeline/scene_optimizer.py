@@ -237,14 +237,67 @@ class SceneOptimizer:
             cals.append(cal)
             sizes.append((img.width, img.height))
         # Pass 2 (device): batched detection over shape-uniform chunks.
-        B = max(1, int(cfg.detect_batch))
-        if B == 8 and jax.default_backend() == "tpu":
+        def store(i, raw):
+            # Host-side numpy copies: downstream per-pair stacking then
+            # costs zero device round-trips (a 2000-pair scene otherwise
+            # issues thousands of tiny device ops — latency-bound through
+            # a remote-TPU tunnel).
+            f = sift.SiftFeatures(
+                uv=np.asarray(raw.uv),
+                scale=np.asarray(getattr(raw, "scale",
+                                         np.zeros_like(raw.response))),
+                response=np.asarray(raw.response),
+                descriptor=np.asarray(raw.descriptor),
+                mask=np.asarray(raw.mask),
+            )
+            cache.save(
+                grays[i][1],
+                dict(uv=f.uv, scale=f.scale, response=f.response,
+                     descriptor=f.descriptor, mask=f.mask),
+            )
+            feats[i] = f
+
+        n_dev = jax.device_count()
+        shard = cfg.detect_sharded if cfg.detect_sharded is not None \
+            else n_dev > 1
+        if shard and n_dev > 1:
+            # Mesh-sharded detection (VERDICT r3 item 4): the image batch is
+            # sharded over the device axis; each device runs the un-vmapped
+            # per-image program sequentially (lax.map). Replaces the
+            # reference's per-image Dask fan-out
+            # (det_desc_correspondence_generator.py:68).
+            from gtsfm_tpu.parallel import distributed
+
+            mesh = distributed.make_mesh()
+            for shape, idxs in misses.items():
+                pad_n = (-len(idxs)) % n_dev
+                stack = np.stack(
+                    [grays[i][0] for i in idxs]
+                    + [grays[idxs[0]][0]] * pad_n
+                )
+                raw = distributed.image_sharded_detect(
+                    mesh, detect, jnp.asarray(stack)
+                )
+                raws = jax.device_get(
+                    [jax.tree.map(lambda a, k=k: a[k], raw)
+                     for k in range(len(idxs))]
+                )
+                for i, r in zip(idxs, raws):
+                    store(i, r)
+                logger.info(
+                    "features: %d images at shape %s done (%d-device mesh)",
+                    len(idxs), shape, n_dev,
+                )
+            return feats, np.stack(cals), sizes
+
+        if cfg.detect_batch is None:
             # Auto-tune (r3, measured): vmapping the gather-heavy SIFT
             # sampler pessimizes it on TPU (vmap x8 = 39.7 ms/img vs 19.8
             # single at 760x512 — batched gathers lower to a slower general
             # gather), while CPU prefers the batch for core utilization.
-            # Only overrides the DEFAULT batch; explicit configs win.
-            B = 1
+            B = 1 if jax.default_backend() == "tpu" else 8
+        else:
+            B = max(1, int(cfg.detect_batch))
         batched = jax.jit(jax.vmap(detect)) if B > 1 else None
         for shape, idxs in misses.items():
             for s in range(0, len(idxs), B):
@@ -259,26 +312,9 @@ class SceneOptimizer:
                             for k in range(len(chunk))]
                 else:
                     raws = [detect(grays[i][0]) for i in chunk]
-                # Host-side numpy copies: downstream per-pair stacking then
-                # costs zero device round-trips (a 2000-pair scene otherwise
-                # issues thousands of tiny device ops — latency-bound through
-                # a remote-TPU tunnel).
                 raws = jax.device_get(raws)
                 for i, raw in zip(chunk, raws):
-                    f = sift.SiftFeatures(
-                        uv=np.asarray(raw.uv),
-                        scale=np.asarray(getattr(raw, "scale",
-                                                 np.zeros_like(raw.response))),
-                        response=np.asarray(raw.response),
-                        descriptor=np.asarray(raw.descriptor),
-                        mask=np.asarray(raw.mask),
-                    )
-                    cache.save(
-                        grays[i][1],
-                        dict(uv=f.uv, scale=f.scale, response=f.response,
-                             descriptor=f.descriptor, mask=f.mask),
-                    )
-                    feats[i] = f
+                    store(i, raw)
             logger.info("features: %d images at shape %s done", len(idxs), shape)
         return feats, np.stack(cals), sizes
 
