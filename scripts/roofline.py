@@ -33,6 +33,11 @@ def _timed(fn, *args, n=5):
 
 _COST_CACHE: dict = {}  # name -> (flops, bytes); loaded in --time mode
 _MODE = "time"
+_ONLY = None  # substring filter over kernel-section names (--only)
+
+
+def want(section: str) -> bool:
+    return _ONLY is None or _ONLY in section
 
 
 def analyze(name, fn, args, f32=True, cost=None):
@@ -103,7 +108,7 @@ def rows(small=False):
     from gtsfm_tpu.ops import matching
 
     match_sizes = ((8, 256),) if small else ((64, 2048), (128, 4096))
-    for P, K in match_sizes:
+    for P, K in (match_sizes if want("matching") else ()):
         D = 128
         d1 = jnp.asarray(rng.normal(size=(P, K, D)).astype(np.float32))
         d2 = jnp.asarray(rng.normal(size=(P, K, D)).astype(np.float32))
@@ -118,7 +123,7 @@ def rows(small=False):
     from gtsfm_tpu.ops import ransac
 
     ransac_sizes = ((8, 128, 64),) if small else ((64, 1024, 512), (256, 2048, 512))
-    for P, M, H in ransac_sizes:
+    for P, M, H in (ransac_sizes if want("ransac") else ()):
         x1 = jnp.asarray(rng.normal(size=(P, M, 2)).astype(np.float32) * 0.3)
         x2 = jnp.asarray(rng.normal(size=(P, M, 2)).astype(np.float32) * 0.3)
         cm = jnp.ones((P, M))
@@ -136,7 +141,7 @@ def rows(small=False):
     from gtsfm_tpu.frontend import sift
 
     sift_sizes = ((128, 96),) if small else ((760, 512), (1088, 736))
-    for h, w in sift_sizes:
+    for h, w in (sift_sizes if want("sift") else ()):
         img = jnp.asarray(rng.uniform(0, 1, size=(h, w)).astype(np.float32))
         out.append(analyze(f"sift {h}x{w}", lambda im: sift.detect_and_describe(im, max_keypoints=4096), (img,)))
         if _MODE == "time":
@@ -182,7 +187,7 @@ def rows(small=False):
         return dataclasses.replace(sc, points=sc.points.at[:n_tracks].set(jnp.asarray(X)))
 
     ba_sizes = ((96, 512),) if small else ((256, 16384), (1024, 65536))
-    for n_cams, n_tracks in ba_sizes:
+    for n_cams, n_tracks in (ba_sizes if want("BA") else ()):
         sc = banded_problem(n_cams, n_tracks)
         band, plan = ba.auto_band(sc)
         cfg = ba.BAConfig(max_iterations=1, bucket_l=ba.auto_bucket_l(sc),
@@ -198,7 +203,7 @@ def rows(small=False):
     from gtsfm_tpu.ops.pallas_kernels import attention as attn
 
     attn_sizes = ((4, 256, 64),) if small else ((8, 4096, 64), (8, 16384, 64))
-    for BH, K, Dh in attn_sizes:
+    for BH, K, Dh in (attn_sizes if want("attention") else ()):
         q = jnp.asarray(rng.normal(size=(BH, K, Dh)).astype(np.float32))
         kk = jnp.asarray(rng.normal(size=(BH, K, Dh)).astype(np.float32))
         v = jnp.asarray(rng.normal(size=(BH, K, Dh)).astype(np.float32))
@@ -216,6 +221,8 @@ def rows(small=False):
     # ---- Plane-sweep MVS depth.
     from gtsfm_tpu.densify import plane_sweep as ps
 
+    if not want("plane_sweep"):
+        return out
     H_, W_, S, D_ = (96, 128, 2, 16) if small else (480, 640, 4, 64)
     gray = jnp.asarray(rng.uniform(0, 1, size=(H_, W_)).astype(np.float32))
     srcs = jnp.asarray(rng.uniform(0, 1, size=(S, H_, W_)).astype(np.float32))
@@ -241,7 +248,11 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cost", action="store_true",
                     help="pure-CPU cost-model pass; writes " + COST_JSON)
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter: run only matching kernel sections")
     args = ap.parse_args()
+    global _ONLY
+    _ONLY = args.only
     import json
 
     import jax
@@ -256,6 +267,11 @@ def main():
             table[r["name"]] = (r["flops"], r["bytes"])
             print(f"cost: {r['name']}: {r['flops']/1e9:.1f} GFLOP "
                   f"{r['bytes']/1e9:.2f} GB", flush=True)
+        if os.path.exists(COST_JSON):
+            with open(COST_JSON) as f:
+                old = json.load(f)
+            old.update(table)
+            table = old
         with open(COST_JSON, "w") as f:
             json.dump(table, f)
         return
