@@ -11,9 +11,10 @@ import dataclasses
 
 import numpy as np
 
-# Compact sensor-width database (mm) for EXIF focal -> pixel focal conversion.
-# Subset of the reference's camera DB (gtsfm/common/sensor_width_database.py);
-# fallback is the 35mm-equivalent path or a FOV prior.
+# Fast-path overrides checked BEFORE the full ~3.6k-entry database
+# (common/sensor_db.py, ported from the reference's
+# assets/camera_details/sensor_database.csv). Kept for exact-model hits
+# that the fuzzy DB matching would report as ambiguous.
 SENSOR_WIDTHS_MM = {
     "NIKON D70": 23.7,
     "NIKON D100": 23.7,
@@ -63,6 +64,11 @@ class Image:
         model = str(exif.get("Model", "")).strip().upper()
         name = f"{make} {model}".strip()
         sensor_mm = SENSOR_WIDTHS_MM.get(model) or SENSOR_WIDTHS_MM.get(name)
+        if sensor_mm is None:
+            # Full database lookup (reference SensorWidthDatabase.lookup).
+            from gtsfm_tpu.common import sensor_db
+
+            sensor_mm = sensor_db.lookup(make, model)
         if sensor_mm is None:
             return None
         return float(f_mm) / sensor_mm * max_size
