@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gtsfm_tpu.geometry import lie
 
@@ -202,6 +203,78 @@ def _invsqrt_spd3(G: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
     return Z / jnp.sqrt(c)
 
 
+def _eigvec_for(G: jnp.ndarray, lam: jnp.ndarray, fallback: jnp.ndarray):
+    """Eigenvector of symmetric 3x3 G for eigenvalue lam via the adjugate of
+    (G - lam I) (rank-2 -> adjugate = c v v^T). fallback: (3,) probe used
+    when the adjugate vanishes (repeated eigenvalue)."""
+    M = G - lam[..., None, None] * jnp.eye(3, dtype=G.dtype)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e = M[..., 1, 1], M[..., 1, 2]
+    f = M[..., 2, 2]
+    adj = jnp.stack(
+        [
+            jnp.stack([d * f - e * e, c * e - b * f, b * e - c * d], -1),
+            jnp.stack([c * e - b * f, a * f - c * c, b * c - a * e], -1),
+            jnp.stack([b * e - c * d, b * c - a * e, a * d - b * b], -1),
+        ],
+        -2,
+    )
+    norms = jnp.linalg.norm(adj, axis=-2)
+    col = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(adj, col[..., None, None], axis=-1)[..., 0]
+    nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    scale = jnp.maximum(jnp.linalg.norm(G, axis=(-2, -1), keepdims=True), 1e-30)
+    ok = nv > 1e-12 * scale[..., 0]
+    v = jnp.where(ok, v / jnp.maximum(nv, 1e-30), fallback)
+    return v
+
+
+def _svd3x3(H: jnp.ndarray):
+    """Closed-form batched SVD of 3x3 matrices: (U, S, Vt), S descending.
+
+    jnp.linalg.svd serializes on TPU (one LAPACK-style iteration per batch
+    element); here the symmetric eigenproblem of H^T H is solved with the
+    trigonometric (Cardano) eigenvalue formula + adjugate eigenvectors,
+    then U = H V / S with a cross-product completion for the smallest
+    singular direction. Accuracy is a few ulp worse than LAPACK near
+    repeated singular values — the homography-decomposition consumer treats
+    those as degenerate anyway."""
+    G = jnp.swapaxes(H, -1, -2) @ H
+    q = jnp.trace(G, axis1=-2, axis2=-1) / 3.0
+    B = G - q[..., None, None] * jnp.eye(3, dtype=G.dtype)
+    p = jnp.sqrt(jnp.maximum(jnp.trace(B @ B, axis1=-2, axis2=-1) / 6.0, 1e-30))
+    r = jnp.clip(
+        jnp.linalg.det(B / p[..., None, None]) / 2.0, -1.0, 1.0
+    )
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+    fb1 = jnp.asarray([0.27, 0.53, 0.80], G.dtype)
+    v1 = _eigvec_for(G, lam1, fb1)
+    v3 = _eigvec_for(G, lam3, jnp.asarray([0.80, -0.27, 0.53], G.dtype))
+    # Orthonormalize: v3 against v1, v2 completes the right-handed frame.
+    v3 = v3 - jnp.sum(v3 * v1, axis=-1, keepdims=True) * v1
+    nv3 = jnp.linalg.norm(v3, axis=-1, keepdims=True)
+    v3 = jnp.where(nv3 > 1e-12, v3 / jnp.maximum(nv3, 1e-30),
+                   jnp.cross(v1, fb1) /
+                   jnp.maximum(jnp.linalg.norm(jnp.cross(v1, fb1), axis=-1,
+                                               keepdims=True), 1e-30))
+    v2 = jnp.cross(v3, v1)
+    V = jnp.stack([v1, v2, v3], axis=-1)  # columns
+    S = jnp.sqrt(jnp.maximum(jnp.stack([lam1, lam2, lam3], axis=-1), 0.0))
+    HV = H @ V
+    u1 = HV[..., :, 0] / jnp.maximum(S[..., 0, None], 1e-20)
+    u2 = HV[..., :, 1] / jnp.maximum(S[..., 1, None], 1e-20)
+    # Re-orthonormalize the first two (f32 drift), complete with the cross.
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-30)
+    u2 = u2 - jnp.sum(u2 * u1, axis=-1, keepdims=True) * u1
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-30)
+    u3 = jnp.cross(u1, u2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, S, jnp.swapaxes(V, -1, -2)
+
+
 def _rank2_project(F: jnp.ndarray) -> jnp.ndarray:
     """Nearest rank-2 matrix (zero the smallest singular value) without SVD:
     F - (F v3) v3^T with v3 the smallest right-singular vector."""
@@ -360,7 +433,7 @@ def essentials_from_homography(H: jnp.ndarray) -> jnp.ndarray:
     inside cv2.findEssentialMat (planar-safe); this is the batched
     fixed-shape equivalent. H: (..., 3, 3) -> (..., 2, 3, 3).
     """
-    U, S, Vt = jnp.linalg.svd(H)
+    U, S, Vt = _svd3x3(H)  # closed-form: jnp.linalg.svd serializes on TPU
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     d2 = jnp.maximum(S[..., 1], 1e-12)
     d1 = S[..., 0] / d2

@@ -71,7 +71,9 @@ _MONOMIALS = (
 )
 
 _GRID = 128  # theta intervals over the projective line
-_BISECT_ITERS = 30
+_BISECT_ITERS = 12  # fine cell is already (pi/128)/64 ~ 4e-4 wide; 12 halvings
+# reach ~1e-7 and the Newton + GN (_polish_xyz) stages finish the job — 30
+# rounds measurably bound the whole solver (each is a sequential dependency).
 
 
 def _chol5_solve(G: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -204,28 +206,37 @@ def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
 
 def _gauss_jordan_10x20(M: jnp.ndarray):
     """Batched branch-free Gauss-Jordan reduction of (..., 10, 20) to
-    [I | A']. Returns (A' (..., 10, 10), valid (...,) bool)."""
+    [I | A']. Returns (A' (..., 10, 10), valid (...,) bool).
+
+    Swap-FREE partial pivoting: rows are never physically reordered during
+    elimination (the per-round take_along_axis row swap was the dominant
+    cost of the whole 5-point solver on TPU — 10 sequential gathers over
+    the full (B, 10, 20) block). Instead each round picks its pivot row
+    among the not-yet-used rows via a one-hot contraction, eliminates the
+    column from every other row in place, and ONE final gather reorders
+    rows into pivot-column order."""
     batch = M.shape[:-2]
     scale = jnp.max(jnp.abs(M), axis=(-2, -1))
-    rows = jnp.arange(10)
     valid = jnp.ones(batch, bool)
+    used = jnp.zeros(batch + (10,), M.dtype)
+    row_of_col = []
     for j in range(10):
-        col = jnp.abs(M[..., :, j])
-        col = jnp.where(rows >= j, col, -jnp.inf)
+        col = jnp.abs(M[..., :, j]) + jnp.where(used > 0, -jnp.inf, 0.0)
         p = jnp.argmax(col, axis=-1)  # (...,)
-        # Branch-free row swap j <-> p.
-        sel = jnp.where(
-            rows == j, p[..., None],
-            jnp.where(rows == p[..., None], j, rows),
-        )
-        M = jnp.take_along_axis(M, sel[..., None], axis=-2)
-        piv = M[..., j, j]
+        oh = jax.nn.one_hot(p, 10, dtype=M.dtype)  # (..., 10)
+        piv_row = jnp.einsum("...i,...ik->...k", oh, M)  # (..., 20)
+        piv = piv_row[..., j]
         valid = valid & (jnp.abs(piv) > 1e-12 * scale)
         piv = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
-        row_j = M[..., j, :] / piv[..., None]
-        fac = M[..., :, j]
-        M = M - fac[..., None] * row_j[..., None, :]
-        M = M.at[..., j, :].set(row_j)
+        piv_row = piv_row / piv[..., None]
+        fac = M[..., :, j] * (1.0 - oh)  # eliminate from all OTHER rows
+        M = M - fac[..., None] * piv_row[..., None, :]
+        # Write the normalized pivot row back in place.
+        M = jnp.where(oh[..., None] > 0, piv_row[..., None, :], M)
+        used = used + oh
+        row_of_col.append(p)
+    perm = jnp.stack(row_of_col, axis=-1)  # (..., 10) row index per column
+    M = jnp.take_along_axis(M, perm[..., None], axis=-2)
     return M[..., :, 10:], valid
 
 
@@ -342,7 +353,7 @@ def _real_roots_deg10(coeffs: jnp.ndarray):
     c_hi = jnp.where(c_is_sc, -np.pi / 2 + (i_sc + 1) * h, -np.pi / 2 + (j_lm + 1) * h)
 
     # --- Fine pass: F subintervals inside each of the 10 coarse brackets.
-    F = 64
+    F = 32
     offs = jnp.linspace(0.0, 1.0, F + 1).astype(dtype)
     tf = c_lo[..., None] + (c_hi - c_lo)[..., None] * offs  # (..., 10, F+1)
     # Evaluate with an extra brackets axis (coeffs broadcast over it).
@@ -435,7 +446,7 @@ def _real_roots_deg10(coeffs: jnp.ndarray):
     return z, found
 
 
-def _polish_xyz(M: jnp.ndarray, x, y, z, iters: int = 3):
+def _polish_xyz(M: jnp.ndarray, x, y, z, iters: int = 2):
     """Guarded Gauss-Newton on the 10 cubic constraints directly.
 
     The Gauss-Jordan elimination amplifies f32 coefficient noise by the

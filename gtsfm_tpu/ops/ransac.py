@@ -159,9 +159,10 @@ def verify_essential_batched(
     idx4 = jax.vmap(lambda k, m: _sample_minimal_sets(k, m, SH, 4))(keys[1], mask)
 
     def take(pts, idx):
-        return jnp.take_along_axis(
-            pts[:, None, :, :].repeat(idx.shape[1], axis=1), idx[..., None], axis=2
-        )
+        # (P, N, 2) gathered at (P, S, k) -> (P, S, k, 2). vmap'd fancy
+        # indexing — take_along_axis would need the (P, S, N, 2) repeat
+        # materialized (hundreds of MB at production sizes).
+        return jax.vmap(lambda p, i: p[i])(pts, idx)
 
     if minimal_solver == "nister5":
         # Nistér 5-point hypotheses: (P, S5, 10, 3, 3) -> (P, 10*S5, 3, 3).
