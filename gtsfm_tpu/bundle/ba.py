@@ -1735,8 +1735,11 @@ def run_ba_with_filtering(
     with e.g. output_reproj_error_thresholds [10, 5, 3] px). Host-level loop
     (stage count is tiny and static).
     """
+    import time as _time
+
     stats = []
     for k, thresh in enumerate(reproj_thresholds_px):
+        t_stage = _time.perf_counter()
         # Mixed precision across stages: bf16 coupling for the bulk stages,
         # full f32 for the FINAL stage so converged accuracy is unaffected.
         stage_cfg = cfg
@@ -1749,16 +1752,31 @@ def run_ba_with_filtering(
             statics, band_plan = auto_band(scene)
             if statics is not None:
                 stage_cfg = stage_cfg._replace(band=statics)
+        t_prep = _time.perf_counter()
         result = lm_optimize(scene, stage_cfg, priors=priors, band_plan=band_plan)
+        iters = int(result.iterations)  # host fetch = device-sync barrier
+        t_opt = _time.perf_counter()
         scene = result.scene.filter_landmarks(thresh)
+        jax.block_until_ready(scene.points)
+        t_end = _time.perf_counter()
         stats.append(
             dict(
                 threshold=float(thresh),
                 initial_cost=float(result.initial_cost),
                 final_cost=float(result.final_cost),
-                iterations=int(result.iterations),
+                iterations=iters,
                 tracks=scene.num_tracks(),
                 measurements=scene.num_measurements(),
+                # Wall breakdown (VERDICT r3 item 2: reconcile e2e BA wall
+                # time with kernel iters/s): band-detect/prep, the LM loop
+                # itself (includes any compile on the first stage at a new
+                # shape), and the landmark filter + re-pad.
+                wall_prep_sec=t_prep - t_stage,
+                wall_lm_sec=t_opt - t_prep,
+                wall_filter_sec=t_end - t_opt,
+                lm_iters_per_sec=(
+                    iters / (t_opt - t_prep) if t_opt > t_prep else 0.0
+                ),
             )
         )
     return scene, stats

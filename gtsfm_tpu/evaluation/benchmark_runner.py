@@ -34,6 +34,12 @@ DEFAULT_MATRIX = [
     # geometry near-degenerate (bas-relief); tracked for regression, not for
     # absolute pose accuracy (the reference asserts none on it either).
     ("astrovision-vesta-sift", "astrovision", "astrovision/test_2011212_opnav_022", []),
+    # 4 internet photos (1dsfm regime, reference one_d_sfm_loader.py): no GT;
+    # intrinsics come from EXIF + the sensor-width DB; exercises the
+    # high-outlier unordered-pairs path (VERDICT r3 item 10). Tracked for
+    # regression (track/inlier counts + runtime), not pose accuracy.
+    ("1dsfm-internet-sift", "onedsfm", "1dsfm",
+     ["retriever.regime=exhaustive"]),
 ]
 
 

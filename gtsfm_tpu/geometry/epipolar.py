@@ -253,6 +253,16 @@ def _svd3x3(H: jnp.ndarray):
     fb1 = jnp.asarray([0.27, 0.53, 0.80], G.dtype)
     v1 = _eigvec_for(G, lam1, fb1)
     v3 = _eigvec_for(G, lam3, jnp.asarray([0.80, -0.27, 0.53], G.dtype))
+    # Polish: two power-iteration steps sharpen v1 (dominant) and v3 (via
+    # the complement tr(G)I - G) — the adjugate construction alone loses a
+    # few bits near close singular values, which measurably costs RANSAC
+    # success in the 50-60%-outlier regime.
+    tr3 = jnp.trace(G, axis1=-2, axis2=-1)[..., None]
+    for _ in range(2):
+        v1 = jnp.einsum("...ij,...j->...i", G, v1)
+        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
+        v3 = tr3 * v3 - jnp.einsum("...ij,...j->...i", G, v3)
+        v3 = v3 / jnp.maximum(jnp.linalg.norm(v3, axis=-1, keepdims=True), 1e-30)
     # Orthonormalize: v3 against v1, v2 completes the right-handed frame.
     v3 = v3 - jnp.sum(v3 * v1, axis=-1, keepdims=True) * v1
     nv3 = jnp.linalg.norm(v3, axis=-1, keepdims=True)
@@ -270,7 +280,15 @@ def _svd3x3(H: jnp.ndarray):
     u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-30)
     u2 = u2 - jnp.sum(u2 * u1, axis=-1, keepdims=True) * u1
     u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-30)
-    u3 = jnp.cross(u1, u2)
+    # Third left-singular direction: the cross completes the orthonormal
+    # frame, but its SIGN must follow H v3 (for det(H) < 0 the true u3 is
+    # the left-handed completion; forcing right-handedness breaks
+    # H = U S V^T on half of all inputs). s3 ~ 0 -> either sign is fine.
+    u3c = jnp.cross(u1, u2)
+    sgn = jnp.where(
+        jnp.sum(HV[..., :, 2] * u3c, axis=-1, keepdims=True) < 0.0, -1.0, 1.0
+    )
+    u3 = u3c * sgn
     U = jnp.stack([u1, u2, u3], axis=-1)
     return U, S, jnp.swapaxes(V, -1, -2)
 

@@ -137,8 +137,11 @@ def mfas_outlier_weights(
     Oa = jax.nn.one_hot(edges_a, n, dtype=proj.dtype)  # (E, n)
     Ob = jax.nn.one_hot(edges_b, n, dtype=proj.dtype)
 
+    # All big operands arrive as ARGUMENTS (not trace-time closure constants:
+    # the (E, n) one-hots would be baked into the HLO as literals, whose
+    # serialized size broke remote compilation at 2048 cams).
     @jax.jit
-    def run_chunk(proj_chunk):
+    def run_chunk(proj_chunk, Oa, Ob, edges_a, edges_b):
         w_abs = jnp.abs(proj_chunk)  # (Dc, E)
         s_pos = jnp.where(proj_chunk >= 0, w_abs, 0.0)
         s_neg = w_abs - s_pos
@@ -151,6 +154,9 @@ def mfas_outlier_weights(
 
         A = jax.lax.map(build, (s_pos, s_neg))  # (Dc, n, n)
         net0 = jnp.sum(A, axis=2) - jnp.sum(A, axis=1)  # out - in per node
+        # One gather per greedy step instead of two: the net-tally update
+        # only ever reads (row - col) of A, i.e. one row of B = A^T - A.
+        B = A - jnp.swapaxes(A, -1, -2)  # (Dc, n, n); B[p, q] = A[p,q]-A[q,p]
         Dc = proj_chunk.shape[0]
 
         def body(state, counter):
@@ -160,9 +166,8 @@ def mfas_outlier_weights(
             oh = jax.nn.one_hot(pick, n, dtype=remaining.dtype)
             remaining = remaining * (1.0 - oh)
             pos = jnp.where(oh > 0, counter, pos)
-            col = jnp.take_along_axis(A, pick[:, None, None], axis=2)[..., 0]
-            row = jnp.take_along_axis(A, pick[:, None, None], axis=1)[:, 0, :]
-            net = net - col + row
+            delta = jnp.take_along_axis(B, pick[:, None, None], axis=1)[:, 0, :]
+            net = net + delta
             return (remaining, net, pos), None
 
         init = (jnp.ones((Dc, n), proj.dtype), net0, jnp.zeros((Dc, n), jnp.int32))
@@ -171,11 +176,17 @@ def mfas_outlier_weights(
         pos_v = jnp.take_along_axis(pos, v, axis=1)
         return jnp.where(pos_u > pos_v, w_abs, 0.0)
 
-    # Chunk the projections to bound the dense adjacency's memory.
-    chunk = max(1, min(num_projections, int(2**27 // max(n * n, 1)) or 1))
+    # Chunk the projections to bound the dense adjacency's memory (A + B =
+    # 2 Dc n^2 floats; 2^29-element budget = 2 GB for both). Fewer chunks
+    # matter more than smaller ones: every extra chunk re-runs the full
+    # n-step sequential greedy scan (the 4-chunk layout at 1024 cams cost
+    # 4x the steps of the single-chunk 512-cam case — superlinear wall).
+    chunk = max(1, min(num_projections, int(2**28 // max(n * n, 1)) or 1))
     outs = []
     for s in range(0, num_projections, chunk):
-        outs.append(np.asarray(run_chunk(proj[s : s + chunk])))
+        outs.append(np.asarray(run_chunk(
+            proj[s : s + chunk], Oa, Ob, edges_a, edges_b
+        )))
     outlier_w = np.concatenate(outs, axis=0)  # (D, E)
     proj_abs = np.abs(np.asarray(proj))
     # Reference accumulates outlier weight relative to total projection weight.

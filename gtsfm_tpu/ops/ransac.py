@@ -194,6 +194,14 @@ def verify_essential_batched(
     )
     S_pool = E_pool.shape[1]
     E_pool_flat = E_pool.reshape(P, S_pool, 9)
+    # Kill (near-)zero candidates: a degenerate homography decomposition
+    # (d1 ~ d3 -> t = 0) yields E = 0 EXACTLY, and the scale-invariant
+    # Sampson ratio scores zero-E as a perfect all-inlier model
+    # (0 / max(0, eps) = 0 for every correspondence) — it must never reach
+    # the argmax. Proper candidates are ~unit Frobenius norm.
+    valid_pool = valid_pool & (
+        jnp.linalg.norm(E_pool_flat, axis=-1) > 1e-5
+    )
 
     def msac_score(d, m):
         """Truncated-residual (MSAC) score, higher = better. Count-based

@@ -1146,6 +1146,13 @@ class SceneOptimizer:
         for si, s in enumerate(ba_stats):
             g.add(f"stage{si}_final_cost", s["final_cost"])
             g.add(f"stage{si}_iterations", s["iterations"])
+            # Per-stage wall breakdown (VERDICT r3 item 2): prep = band
+            # detect + layout, lm = the LM loop (includes first-shape
+            # compile), filter = landmark filter + re-pad.
+            for key in ("wall_prep_sec", "wall_lm_sec", "wall_filter_sec",
+                        "lm_iters_per_sec"):
+                if key in s:
+                    g.add(f"stage{si}_{key}", s[key])
         g.add("duration_sec", t_ba - t_2view)
         metrics.append(g)
 

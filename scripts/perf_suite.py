@@ -282,11 +282,23 @@ def bench_plane_sweep(H=480, W=640, S=4, D=64, n=8):
             "value": round(1.0 / dt, 1), "unit": "depth maps/s"}
 
 
+def bench_translation_averaging_1024():
+    return bench_translation_averaging(n=1024, lookahead=10)
+
+
+def bench_translation_averaging_2048():
+    # 1dsfm-scale camera count with realistic (sparse, ~10 edges/cam) density
+    # (VERDICT r3 item 7: measure TA beyond 512 cams or shard it).
+    return bench_translation_averaging(n=2048, lookahead=10)
+
+
 ALL = [
     bench_ba_dense_banded,
     bench_ba_banded_pcg,
     bench_rotation_averaging,
     bench_translation_averaging,
+    bench_translation_averaging_1024,
+    bench_translation_averaging_2048,
     bench_triangulation,
     bench_ransac,
     bench_matching,
