@@ -14,6 +14,14 @@ over ICI:
     normal-equation blocks are reduced with psum — the "distributed Schur
     reduction over ICI" design from BASELINE.md. Cameras/points are
     replicated (their state is tiny relative to measurements).
+  * rotation/translation averaging stay REPLICATED — measured decision
+    (r4, VERDICT r3 item 7): after the MFAS restructure the whole 1dSFM
+    stage is 2.2 s at 512 cams, 5.0 s at 1024, 13.8 s at 2048 (~10
+    edges/cam, 512 projections) on one chip — single-digit percent of
+    the e2e wall at every measured scale, and the greedy MFAS scan's
+    sequential n-step dependency chain would shard poorly (the
+    projections axis is embarrassingly parallel, but one chip already
+    covers 512 projections in one fused program).
 
 Compiled-step caching: every shard_map program is built by a module-level
 ``functools.lru_cache`` factory keyed on (mesh, cfg, statics) and wrapped in
