@@ -239,3 +239,26 @@ def test_prescreen_budget_variants(rng):
         )
         rot, dire = pose_errors(res, 0, pair)
         assert bool(res.success[0]) and rot < 2.0 and dire < 5.0, (pc, ms, rot, dire)
+
+
+def test_zero_e_candidate_never_wins(rng):
+    """Regression (r4): a degenerate homography decomposition (d1 ~ d3 ->
+    t = 0) emits E = 0 EXACTLY, and the scale-invariant Sampson ratio
+    scores zero-E as a perfect all-inlier model (0 / max(0, eps) = 0 for
+    every correspondence, gross outliers included). The kernel must
+    invalidate ~zero-norm candidates: on a 50%-outlier pair the winning
+    model can never report (near-)every correspondence as an inlier."""
+    for trial in range(4):
+        pair = make_pair(rng, out_frac=0.5)
+        x1 = jnp.asarray(pair[0][None])
+        x2 = jnp.asarray(pair[1][None])
+        res = ransac.verify_essential_batched(
+            jax.random.PRNGKey(trial), x1, x2, jnp.ones((1, 512)),
+            threshold=4e-3, num_hypotheses=512,
+        )
+        # A correct model cannot fit the 50% gross outliers.
+        assert float(res.inlier_ratio[0]) < 0.8, (
+            trial, float(res.inlier_ratio[0]),
+        )
+        rot, dire = pose_errors(res, 0, pair)
+        assert rot < 2.0 and dire < 5.0, (trial, rot, dire)
