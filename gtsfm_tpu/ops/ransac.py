@@ -212,6 +212,25 @@ def verify_essential_batched(
         t_sq = thresh_sq.reshape((P,) + (1,) * (d.ndim - 1))
         return jnp.sum(jnp.maximum(1.0 - d / t_sq, 0.0) * m, axis=-1)
 
+    def msac_scores_tiled(E_flat, xa, xb, m, dtype, tile):
+        """MSAC scores for every candidate, hypothesis axis processed in
+        `tile`-sized lax.scan steps. Peak memory is O(P * 5N * tile)
+        instead of O(P * 5N * S): at production chunk sizes (512 pairs x
+        2048 corrs x 3968-candidate pool) the one-shot matmul's (P, 5N, S)
+        output alone is ~10 GB and OOMs the chip (r4 large-scene bench)."""
+        S = E_flat.shape[1]
+        pad = (-S) % tile
+        Ef = jnp.pad(E_flat, ((0, 0), (0, pad), (0, 0)))
+        Ef = jnp.swapaxes(Ef.reshape(P, -1, tile, 9), 0, 1)  # (nt, P, tile, 9)
+
+        def step(_, Et):
+            d = _sampson_sq_mxu(Et, xa, xb, dtype=dtype)  # (P, tile, N)
+            d = jnp.where(jnp.isfinite(d), d, jnp.inf)
+            return None, msac_score(d, m[:, None, :])
+
+        _, sc = jax.lax.scan(step, None, Ef)  # (nt, P, tile)
+        return jnp.moveaxis(sc, 0, 1).reshape(P, -1)[:, :S]
+
     # --- Pre-gate: rank the pool on a correspondence subsample in bf16.
     K = min(max_scored, S_pool)
     if S_pool > K:
@@ -223,8 +242,9 @@ def verify_essential_batched(
         x1_s = jnp.take_along_axis(x1, sub_idx[..., None], axis=1)
         x2_s = jnp.take_along_axis(x2, sub_idx[..., None], axis=1)
         mask_s = take_n(mask)
-        d_pre = _sampson_sq_mxu(E_pool_flat, x1_s, x2_s, dtype=jnp.bfloat16)
-        pre = msac_score(d_pre, mask_s[:, None, :])
+        pre = msac_scores_tiled(
+            E_pool_flat, x1_s, x2_s, mask_s, jnp.bfloat16, tile=512
+        )
         pre = jnp.where(valid_pool, pre, -jnp.inf)
         _, top_idx = jax.lax.top_k(pre, K)  # (P, K)
         E_h = jnp.take_along_axis(E_pool, top_idx[..., None, None], axis=1)
@@ -234,16 +254,19 @@ def verify_essential_batched(
         valid_h = valid_pool
 
     # --- Full f32 scoring of the survivors on every correspondence.
-    d = _sampson_sq_mxu(E_h.reshape(P, K, 9), x1, x2, dtype=jnp.float32)
-    d = jnp.where(jnp.isfinite(d), d, jnp.inf)
-    inl = (d < thresh_sq[:, None, None]) & (mask[:, None, :] > 0)
-    scores = msac_score(d, mask[:, None, :])  # (P, K)
+    scores = msac_scores_tiled(
+        E_h.reshape(P, K, 9), x1, x2, mask, jnp.float32, tile=64
+    )  # (P, K)
     scores = jnp.where(valid_h, scores, -jnp.inf)
     best = jnp.argmax(scores, axis=-1)  # (P,)
 
-    w_best = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0].astype(x1.dtype)
     E_best = jnp.take_along_axis(E_h, best[:, None, None, None], axis=1)[:, 0]
     s_best = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    # Winner's inlier mask: one extra single-candidate scoring pass instead
+    # of materializing the (P, K, N) distance/inlier tensors.
+    d_best = epipolar.sampson_distance_sq(E_best, x1, x2)
+    d_best = jnp.where(jnp.isfinite(d_best), d_best, jnp.inf)
+    w_best = ((d_best < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
 
     # Local optimization: refit on the current inlier set, keep whichever model
     # scores best overall (the best hypothesis E is a candidate throughout).
