@@ -77,10 +77,27 @@ for _ in range(3):
     jax.block_until_ready(out.points)
     best = min(best, time.perf_counter() - t0)
 meas = sc.num_measurements()
+
+# Iso-work front-end detection row (VERDICT r3 item 4): 2 images per
+# device, image axis sharded over the mesh, per-device un-vmapped SIFT.
+from gtsfm_tpu.frontend import sift
+imgs = jnp.asarray(rng.uniform(0, 1, size=(2 * n_dev, 256, 192)).astype(np.float32))
+det = lambda im: sift.detect_and_describe(im, max_keypoints=256)
+feats = distributed.image_sharded_detect(mesh, det, imgs)  # compile
+jax.block_until_ready(feats.uv)
+det_best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    feats = distributed.image_sharded_detect(mesh, det, imgs)
+    jax.block_until_ready(feats.uv)
+    det_best = min(det_best, time.perf_counter() - t0)
+
 print(json.dumps({
     "n_devices": n_dev, "n_cams": n_cams, "n_tracks": n_tracks,
     "n_meas": meas, "sec_per_lm_iter": best / cfg.max_iterations,
     "meas_per_sec_per_device": meas / best * cfg.max_iterations / n_dev,
+    "detect_sec_per_round": det_best,
+    "detect_images_per_sec_per_device": 2.0 / det_best,
 }))
 """
 
@@ -90,7 +107,7 @@ def main():
     for n in (1, 2, 4, 8):
         r = subprocess.run(
             [sys.executable, "-c", WORKER, str(n)],
-            cwd=REPO, capture_output=True, text=True, timeout=1200,
+            cwd=REPO, capture_output=True, text=True, timeout=2400,
             env={**os.environ, "PYTHONPATH": REPO},
         )
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
@@ -117,6 +134,16 @@ def main():
         print(f"| {n} | {r['n_cams']} | {r['n_tracks']} "
               f"| {r['sec_per_lm_iter'] * 1e3:.1f} | {n * t1 * 1e3:.1f} "
               f"| {min(eff, 1.0) * 100:.0f}% |")
+    d1 = results[0]["detect_sec_per_round"]
+    print()
+    print("| devices | images | detect ms/round | ideal ms (n*t1) | efficiency |")
+    print("|---|---|---|---|---|")
+    for r in results:
+        n = r["n_devices"]
+        eff = n * d1 / r["detect_sec_per_round"]
+        r["detect_weak_scaling_efficiency"] = eff
+        print(f"| {n} | {2 * n} | {r['detect_sec_per_round'] * 1e3:.1f} "
+              f"| {n * d1 * 1e3:.1f} | {min(eff, 1.0) * 100:.0f}% |")
     with open("/tmp/scaling_bench.json", "w") as f:
         json.dump(results, f, indent=1)
     print("JSON -> /tmp/scaling_bench.json")
