@@ -446,9 +446,24 @@ class SceneOptimizer:
         two_view_estimator.py:38-41)."""
         chunk = int(self.config.two_view.chunk_size)
         P_all = len(pairs)
+        # Device-resident per-image feature stacks (classical det/desc path):
+        # each image's descriptors are uploaded ONCE and pairs gather them
+        # on-device. The previous layout re-stacked + re-transferred every
+        # image's (K, 128) block once per PAIR — at 200 images / 1385 pairs
+        # that is ~14x redundant host->device traffic through the tunnel
+        # (~0.5 GB per 512-pair chunk), which dominated the two-view stage
+        # wall (~39 of 42 s; device compute is ~1 s/chunk, PERF.md r4).
+        dev_stacks = None
+        if precomputed is None and self.config.frontend.matcher_type == "mutual_nn":
+            dev_stacks = dict(
+                desc=jnp.asarray(np.stack([np.asarray(f.descriptor) for f in feats])),
+                mask=jnp.asarray(np.stack([np.asarray(f.mask) for f in feats])),
+                uv=jnp.asarray(np.stack([np.asarray(f.uv) for f in feats])),
+                cal=jnp.asarray(np.stack([np.asarray(c) for c in cals])),
+            )
         if P_all <= chunk:
             return self._run_two_view_chunk(
-                feats, cals, pairs, precomputed, return_stages
+                feats, cals, pairs, precomputed, return_stages, dev_stacks
             )
 
         results, idxs, stage_accum = [], [], {}
@@ -467,7 +482,9 @@ class SceneOptimizer:
                 )
                 pre_sub = (sl(x1), sl(x2), sl(cm),
                            None if idx is None else sl(idx))
-            out = self._run_two_view_chunk(feats, cals, sub, pre_sub, return_stages)
+            out = self._run_two_view_chunk(
+                feats, cals, sub, pre_sub, return_stages, dev_stacks
+            )
             res_c, idx_c = out[0], out[1]
             trim = lambda t: t[:n_real]
             results.append(jax.tree_util.tree_map(trim, res_c))
@@ -490,11 +507,27 @@ class SceneOptimizer:
         return res, match_idx
 
     def _run_two_view_chunk(self, feats, cals, pairs, precomputed=None,
-                            return_stages: bool = False):
+                            return_stages: bool = False, dev_stacks=None):
         fe = self.config.frontend
         tv = self.config.two_view
         if precomputed is not None:
             x1, x2, cm, idx = precomputed
+        elif dev_stacks is not None:
+            # On-device pair gather from the once-uploaded per-image stacks.
+            pa = jnp.asarray([a for a, b in pairs], jnp.int32)
+            pb = jnp.asarray([b for a, b in pairs], jnp.int32)
+            d1, d2 = dev_stacks["desc"][pa], dev_stacks["desc"][pb]
+            m1, m2 = dev_stacks["mask"][pa], dev_stacks["mask"][pb]
+            k1, k2 = dev_stacks["uv"][pa], dev_stacks["uv"][pb]
+            if fe.feature_type in ("orb", "brisk"):
+                idx, mm = matching.match_hamming(
+                    d1, d2, m1, m2, ratio_test=fe.ratio_test
+                )
+            else:
+                idx, mm = matching.mutual_nearest_matching(
+                    d1, d2, m1, m2, ratio_test=fe.ratio_test
+                )
+            x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
         else:
             npst = lambda xs: jnp.asarray(np.stack([np.asarray(x) for x in xs]))
             d1 = npst([feats[a].descriptor for a, b in pairs])
@@ -520,13 +553,17 @@ class SceneOptimizer:
                 raise ValueError(f"unknown matcher_type {fe.matcher_type}")
             x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
 
-        cal_a = jnp.asarray(np.stack([np.asarray(cals[a]) for a, b in pairs]))
-        cal_b = jnp.asarray(np.stack([np.asarray(cals[b]) for a, b in pairs]))
+        if dev_stacks is not None:
+            cal_a = dev_stacks["cal"][pa]
+            cal_b = dev_stacks["cal"][pb]
+        else:
+            cal_a = jnp.asarray(np.stack([np.asarray(cals[a]) for a, b in pairs]))
+            cal_b = jnp.asarray(np.stack([np.asarray(cals[b]) for a, b in pairs]))
         K1 = jax.vmap(cameras.K_from_bundler)(cal_a)
         K2 = jax.vmap(cameras.K_from_bundler)(cal_b)
         x1n = cameras.normalize_keypoints(K1[:, None], x1)
         x2n = cameras.normalize_keypoints(K2[:, None], x2)
-        f_mean = jnp.asarray([(cals[a][0] + cals[b][0]) / 2.0 for a, b in pairs])
+        f_mean = (cal_a[:, 0] + cal_b[:, 0]) / 2.0
         n_dev = jax.device_count()
         if n_dev > 1 and len(pairs) >= n_dev:
             # Multi-chip: shard the pairs axis over the device mesh (the
