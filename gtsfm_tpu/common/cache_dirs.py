@@ -44,6 +44,17 @@ def _machine_identity() -> str:
                     break
     except OSError:
         pass
+    # Boot identity: this environment's VM migrates between physical hosts
+    # MID-SESSION with an unchanged /proc/cpuinfo flags line, and loading a
+    # same-dir AOT entry compiled pre-migration segfaulted the test suite
+    # (r4, jax compilation_cache.get_executable_and_time). A migration is
+    # always a new boot, so folding boot_id in self-invalidates the cache
+    # at exactly the right granularity (reboots pay one cold compile).
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f"boot={f.read().strip()}")
+    except OSError:
+        pass
     if cpu_flags is not None:
         parts.append(cpu_flags)
     else:  # non-Linux: per-machine, NOT a shared generic bucket
