@@ -21,10 +21,14 @@ def _no_persistent_compile_cache():
     test_prescreen_budget_variants; the same programs compile and run fine
     with the persistent cache off, and on TPU). Scope the cache off for
     this module; everything else keeps warm-cache speed."""
+    from jax._src import compilation_cache as _cc
+
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()  # is_cache_used() is memoized; reset re-reads config
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    _cc.reset_cache()
 
 
 def make_pair(rng, n_pts=512, noise=3e-4, out_frac=0.0, planar=False,
