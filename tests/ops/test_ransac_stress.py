@@ -244,19 +244,44 @@ def test_eight_point_mode_still_works_easy(rng):
         assert rot < 2.0
 
 
-def test_prescreen_budget_variants(rng):
+def test_prescreen_budget_variants():
     """Pre-gate knobs (subsample size, survivor count) change cost, not
-    correctness: both configs must solve a 40%-outlier pair."""
-    pair = make_pair(rng, out_frac=0.4)
-    x1 = jnp.asarray(pair[0][None])
-    x2 = jnp.asarray(pair[1][None])
-    for pc, ms in ((128, 256), (256, 512)):
-        res = ransac.verify_essential_batched(
-            jax.random.PRNGKey(1), x1, x2, jnp.ones((1, 512)), threshold=4e-3,
-            num_hypotheses=512, prescreen_corrs=pc, max_scored=ms,
-        )
-        rot, dire = pose_errors(res, 0, pair)
-        assert bool(res.success[0]) and rot < 2.0 and dire < 5.0, (pc, ms, rot, dire)
+    correctness: both configs must solve a 40%-outlier pair.
+
+    Runs in a SUBPROCESS: compiling a fresh kernel variant (max_scored=256,
+    a static not used anywhere else) late in a long pytest process
+    reproducibly segfaults this environment's XLA:CPU backend_compile (r4 —
+    crash is in native compilation, not in this repo's code; the identical
+    program compiles and passes in a fresh process every time)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp, sys
+sys.path.insert(0, %r)
+from tests.ops.test_ransac_stress import make_pair, pose_errors
+from gtsfm_tpu.ops import ransac
+rng = np.random.default_rng(0)
+pair = make_pair(rng, out_frac=0.4)
+x1 = jnp.asarray(pair[0][None]); x2 = jnp.asarray(pair[1][None])
+for pc, ms in ((128, 256), (256, 512)):
+    res = ransac.verify_essential_batched(
+        jax.random.PRNGKey(1), x1, x2, jnp.ones((1, 512)), threshold=4e-3,
+        num_hypotheses=512, prescreen_corrs=pc, max_scored=ms,
+    )
+    rot, dire = pose_errors(res, 0, pair)
+    assert bool(res.success[0]) and rot < 2.0 and dire < 5.0, (pc, ms, rot, dire)
+print("OK")
+""" % (repo,)
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd=repo, timeout=1200,
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
 
 
 def test_zero_e_candidate_never_wins(rng):
