@@ -30,7 +30,19 @@ jax.config.update("jax_platforms", "cpu")
 from gtsfm_tpu.common.cache_dirs import compile_cache_dir
 
 jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# READ-ONLY persistent cache under pytest: serializing a freshly compiled
+# executable (put_executable_and_time -> XLA:CPU AOT export) reproducibly
+# SEGFAULTS this environment late in long test processes (r4 — observed at
+# different tests across runs, always in the cache-write path; the same
+# programs compile and run fine). A write-never threshold keeps warm-cache
+# reads (fast repeat suites when a cache was populated by pipeline runs)
+# while removing the crashy serialization from the test process entirely.
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    0.0 if os.environ.get("GTSFM_TEST_CACHE_WRITE") else 1e9,
+)
+# GTSFM_TEST_CACHE_WRITE=1 re-enables writes for SHORT per-module populate
+# runs (scripts/populate_test_cache.sh) where the serializer is stable.
 
 import numpy as np
 import pytest

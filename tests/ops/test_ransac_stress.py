@@ -13,22 +13,9 @@ from gtsfm_tpu.geometry import lie
 from gtsfm_tpu.ops import ransac
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """XLA:CPU's persistent-cache (de)serializer reproducibly SEGFAULTS on
-    one of this module's RANSAC executables (observed r4 on both the read
-    and the write path, jax 0.9.0 — full-suite crash at
-    test_prescreen_budget_variants; the same programs compile and run fine
-    with the persistent cache off, and on TPU). Scope the cache off for
-    this module; everything else keeps warm-cache speed."""
-    from jax._src import compilation_cache as _cc
-
-    old = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    _cc.reset_cache()  # is_cache_used() is memoized; reset re-reads config
-    yield
-    jax.config.update("jax_compilation_cache_dir", old)
-    _cc.reset_cache()
+# NOTE (r4): cache WRITES are disabled suite-wide in tests/conftest.py —
+# XLA:CPU executable serialization segfaults late in long test processes.
+# Reads stay enabled so warm entries (written by pipeline/bench runs) hit.
 
 
 def make_pair(rng, n_pts=512, noise=3e-4, out_frac=0.0, planar=False,
