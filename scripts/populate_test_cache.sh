@@ -1,11 +1,11 @@
 #!/bin/sh
-# Populate the persistent XLA compile cache for the test suite via SHORT
-# per-directory pytest processes with cache writes enabled
-# (GTSFM_TEST_CACHE_WRITE=1). The full one-process suite runs with writes
-# DISABLED (tests/conftest.py): XLA:CPU executable serialization segfaults
-# late in long processes in this environment (r4), while short processes
-# serialize reliably. Run this once per machine-boot; subsequent full-suite
-# runs then hit warm cache entries for every program.
+# Run the suite as SHORT per-directory pytest processes with the persistent
+# compile cache enabled (GTSFM_TEST_CACHE_WRITE=1). The default one-process
+# suite runs with NO persistent cache (tests/conftest.py): this
+# environment's XLA:CPU AOT cache serialize/deserialize reproducibly
+# segfaults (r4). Use this script for fast warm repeat runs when the
+# environment's cache path is trusted; each directory is its own process,
+# so a crash costs one module, not the suite.
 set -x
 for d in tests/geometry tests/common tests/ops tests/frontend tests/twoview \
          tests/multiview tests/bundle tests/io tests/loader tests/densify \
