@@ -299,7 +299,14 @@ class SceneOptimizer:
         else:
             B = max(1, int(cfg.detect_batch))
         batched = jax.jit(jax.vmap(detect)) if B > 1 else None
+        detect_1 = jax.jit(detect) if B == 1 else None
         for shape, idxs in misses.items():
+            # Dispatch EVERY image of the shape group asynchronously, then
+            # ONE bulk device->host fetch: fetching per image forces a sync
+            # per dispatch, serializing detection against the tunnel RTT
+            # (200 images = 200 round trips) where async dispatch overlaps
+            # the next image's dispatch with the current one's compute.
+            outs = []
             for s in range(0, len(idxs), B):
                 chunk = idxs[s : s + B]
                 if B > 1:
@@ -308,13 +315,15 @@ class SceneOptimizer:
                         pad = np.repeat(stack[:1], B - len(chunk), axis=0)
                         stack = np.concatenate([stack, pad], axis=0)
                     raw = batched(stack)
-                    raws = [jax.tree.map(lambda a, k=k: a[k], raw)
-                            for k in range(len(chunk))]
+                    outs.extend(
+                        jax.tree.map(lambda a, k=k: a[k], raw)
+                        for k in range(len(chunk))
+                    )
                 else:
-                    raws = [detect(grays[i][0]) for i in chunk]
-                raws = jax.device_get(raws)
-                for i, raw in zip(chunk, raws):
-                    store(i, raw)
+                    outs.append(detect_1(grays[chunk[0]][0]))
+            raws = jax.device_get(outs)
+            for i, raw in zip(idxs, raws):
+                store(i, raw)
             logger.info("features: %d images at shape %s done", len(idxs), shape)
         return feats, np.stack(cals), sizes
 
