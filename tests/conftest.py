@@ -13,9 +13,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    # Serialize XLA:CPU's parallel LLVM codegen: the default split-codegen
+    # path reproducibly SEGFAULTS this environment late in long test
+    # processes (r4 — crashes in backend_compile, cache serialize, cache
+    # deserialize, even trivial eager primitives, always ~80% into the
+    # suite where the repo's largest unrolled kernels compile; 7/7 crashed
+    # runs with parallel codegen, the same test span passes with it off).
+    _flags = _flags + " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
