@@ -24,6 +24,19 @@ if "xla_cpu_parallel_codegen_split_count" not in _flags:
     _flags = _flags + " --xla_cpu_parallel_codegen_split_count=1"
 os.environ["XLA_FLAGS"] = _flags
 
+# Best-effort: raise the mmap-region cap. XLA:CPU's LLVM JIT maps several
+# regions per compiled executable; a full-suite process accumulates
+# thousands of executables and can exhaust the 65530 default, after which
+# further compiles segfault (mmap failure unchecked inside LLVM) — the
+# r4 late-suite crash signature (backend_compile / cache serialize at ~80%).
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read().strip() or 0) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass  # not privileged — the codegen/cache mitigations below still apply
+
 import jax
 
 # The environment's sitecustomize imports jax at interpreter startup (axon TPU
