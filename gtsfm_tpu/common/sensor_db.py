@@ -59,9 +59,10 @@ def lookup(make: str, model: str) -> float | None:
     fuzzy match is required (the reference raises LookupError on 0 or 2+
     matches — here None, the caller falls back to the FOV prior).
     """
-    if not make or not model:
+    make_tokens = make.split() if make else []
+    if not make_tokens or not model:
         return None
-    q_make = _norm(make.split()[0])
+    q_make = _norm(make_tokens[0])
     q_model = _norm(model, q_make)
     match_count = 0
     width = None

@@ -225,7 +225,8 @@ def _eigvec_for(G: jnp.ndarray, lam: jnp.ndarray, fallback: jnp.ndarray):
     nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
     scale = jnp.maximum(jnp.linalg.norm(G, axis=(-2, -1), keepdims=True), 1e-30)
     ok = nv > 1e-12 * scale[..., 0]
-    v = jnp.where(ok, v / jnp.maximum(nv, 1e-30), fallback)
+    v = jnp.where(ok, v / jnp.maximum(nv, 1e-30),
+                  fallback / jnp.linalg.norm(fallback))
     return v
 
 
@@ -259,10 +260,15 @@ def _svd3x3(H: jnp.ndarray):
     # success in the 50-60%-outlier regime.
     tr3 = jnp.trace(G, axis1=-2, axis2=-1)[..., None]
     for _ in range(2):
-        v1 = jnp.einsum("...ij,...j->...i", G, v1)
-        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
-        v3 = tr3 * v3 - jnp.einsum("...ij,...j->...i", G, v3)
-        v3 = v3 / jnp.maximum(jnp.linalg.norm(v3, axis=-1, keepdims=True), 1e-30)
+        # Keep the pre-polish vector when the matvec collapses (G ~ 0 or
+        # the complement annihilates v3) — a zero iterate would otherwise
+        # wipe the probe fallback (advisor r4 rank-deficiency fix).
+        v1n = jnp.einsum("...ij,...j->...i", G, v1)
+        m1 = jnp.linalg.norm(v1n, axis=-1, keepdims=True)
+        v1 = jnp.where(m1 > 1e-20, v1n / jnp.maximum(m1, 1e-30), v1)
+        v3n = tr3 * v3 - jnp.einsum("...ij,...j->...i", G, v3)
+        m3 = jnp.linalg.norm(v3n, axis=-1, keepdims=True)
+        v3 = jnp.where(m3 > 1e-20, v3n / jnp.maximum(m3, 1e-30), v3)
     # Orthonormalize: v3 against v1, v2 completes the right-handed frame.
     v3 = v3 - jnp.sum(v3 * v1, axis=-1, keepdims=True) * v1
     nv3 = jnp.linalg.norm(v3, axis=-1, keepdims=True)
@@ -277,9 +283,31 @@ def _svd3x3(H: jnp.ndarray):
     u1 = HV[..., :, 0] / jnp.maximum(S[..., 0, None], 1e-20)
     u2 = HV[..., :, 1] / jnp.maximum(S[..., 1, None], 1e-20)
     # Re-orthonormalize the first two (f32 drift), complete with the cross.
-    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-30)
+    # Rank-deficient fallbacks (advisor r4): for rank<=1 H the u2 column
+    # (and for H ~ 0 even u1) collapses to ~0 before normalization; fall
+    # back to probe-vector completions so U stays orthonormal always.
+    nu1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    u1 = jnp.where(
+        nu1 > 1e-12,
+        u1 / jnp.maximum(nu1, 1e-30),
+        jnp.broadcast_to(fb1 / jnp.linalg.norm(fb1), u1.shape),
+    )
     u2 = u2 - jnp.sum(u2 * u1, axis=-1, keepdims=True) * u1
-    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-30)
+    nu2 = jnp.linalg.norm(u2, axis=-1, keepdims=True)
+    # Probe for the fallback: whichever of two fixed vectors is less
+    # aligned with u1 (a single probe can be parallel to u1 — e.g. the
+    # H = 0 case where u1 IS the probe).
+    fb2 = jnp.asarray([0.80, -0.27, 0.53], G.dtype)
+    probe = jnp.where(
+        jnp.abs(jnp.sum(u1 * fb1, axis=-1, keepdims=True)) < 0.9,
+        jnp.broadcast_to(fb1, u1.shape),
+        jnp.broadcast_to(fb2, u1.shape),
+    )
+    u2_fb = jnp.cross(u1, probe)
+    u2_fb = u2_fb / jnp.maximum(
+        jnp.linalg.norm(u2_fb, axis=-1, keepdims=True), 1e-30
+    )
+    u2 = jnp.where(nu2 > 1e-12, u2 / jnp.maximum(nu2, 1e-30), u2_fb)
     # Third left-singular direction: the cross completes the orthonormal
     # frame, but its SIGN must follow H v3 (for det(H) < 0 the true u3 is
     # the left-handed completion; forcing right-handedness breaks

@@ -263,8 +263,14 @@ def verify_essential_batched(
     E_best = jnp.take_along_axis(E_h, best[:, None, None, None], axis=1)[:, 0]
     s_best = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
     # Winner's inlier mask: one extra single-candidate scoring pass instead
-    # of materializing the (P, K, N) distance/inlier tensors.
-    d_best = epipolar.sampson_distance_sq(E_best, x1, x2)
+    # of materializing the (P, K, N) distance/inlier tensors. Uses the SAME
+    # MXU Sampson kernel (f32) as the full-score pass so threshold-boundary
+    # classification is consistent with the score that selected E_best
+    # (advisor r4: the plain sampson_distance_sq path could round
+    # differently under fusion).
+    d_best = _sampson_sq_mxu(
+        E_best.reshape(P, 1, 9), x1, x2, dtype=jnp.float32
+    )[:, 0]
     d_best = jnp.where(jnp.isfinite(d_best), d_best, jnp.inf)
     w_best = ((d_best < thresh_sq[:, None]) & (mask > 0)).astype(x1.dtype)
 

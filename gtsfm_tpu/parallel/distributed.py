@@ -119,6 +119,27 @@ def pair_sharded_verify(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _image_detect_factory(mesh: Mesh, detect_fn):
+    """Compiled per-device detection program, cached on (mesh, detect_fn).
+
+    jit itself caches per input shape, so one factory entry covers every
+    shape group; without this cache each call built a fresh closure and
+    re-traced/re-compiled the whole per-device program (advisor r4) —
+    seconds of compile per call through a remote-TPU tunnel.
+    """
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+    )
+    def run(imgs_l):
+        return jax.lax.map(detect_fn, imgs_l)
+
+    return run
+
+
 def image_sharded_detect(mesh: Mesh, detect_fn, images: jnp.ndarray):
     """Feature detection with the image batch sharded across the mesh.
 
@@ -137,13 +158,7 @@ def image_sharded_detect(mesh: Mesh, detect_fn, images: jnp.ndarray):
     n_dev = mesh.devices.size
     assert images.shape[0] % n_dev == 0, "pad images to a multiple of mesh size"
 
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
-    )
-    def run(imgs_l):
-        return jax.lax.map(detect_fn, imgs_l)
-
+    run = _image_detect_factory(mesh, detect_fn)
     (imgs,) = multihost.shard_inputs(mesh, (P(axis),), (images,))
     out = run(imgs)
     return multihost.gather_outputs(

@@ -7,6 +7,9 @@
 # deselects.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Full-suite processes need the raised mmap cap (see tests/conftest.py);
+# opt in to the best-effort sysctl write here rather than on every import.
+export GTSFM_TEST_RAISE_MAP_COUNT=1
 XDIST_ARGS=()
 if python -c "import xdist" 2>/dev/null; then
   XDIST_ARGS=(-n 2)

@@ -24,18 +24,31 @@ if "xla_cpu_parallel_codegen_split_count" not in _flags:
     _flags = _flags + " --xla_cpu_parallel_codegen_split_count=1"
 os.environ["XLA_FLAGS"] = _flags
 
-# Best-effort: raise the mmap-region cap. XLA:CPU's LLVM JIT maps several
-# regions per compiled executable; a full-suite process accumulates
-# thousands of executables and can exhaust the 65530 default, after which
-# further compiles segfault (mmap failure unchecked inside LLVM) — the
-# r4 late-suite crash signature (backend_compile / cache serialize at ~80%).
+# mmap-region cap: XLA:CPU's LLVM JIT maps several regions per compiled
+# executable; a full-suite process accumulates thousands of executables and
+# can exhaust the 65530 default, after which further compiles segfault
+# (mmap failure unchecked inside LLVM) — the r4 late-suite crash signature
+# (backend_compile / cache serialize at ~80%). Mutating a host-wide sysctl
+# as a side effect of test collection is rude (advisor r4), so the write is
+# opt-in (GTSFM_TEST_RAISE_MAP_COUNT=1 — set by scripts/run_suite.sh);
+# otherwise only warn.
 try:
-    with open("/proc/sys/vm/max_map_count", "r+") as _f:
-        if int(_f.read().strip() or 0) < 1048576:
-            _f.seek(0)
-            _f.write("1048576")
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _map_count = int(_f.read().strip() or 0)
+    if _map_count < 1048576:
+        if os.environ.get("GTSFM_TEST_RAISE_MAP_COUNT"):
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("1048576")
+        else:
+            import warnings
+
+            warnings.warn(
+                f"vm.max_map_count={_map_count} < 1048576: long single-process"
+                " suite runs may segfault in LLVM JIT mmap exhaustion. Use"
+                " scripts/run_suite.sh or set GTSFM_TEST_RAISE_MAP_COUNT=1."
+            )
 except OSError:
-    pass  # not privileged — the codegen/cache mitigations below still apply
+    pass  # not privileged/readable — the codegen/cache mitigations still apply
 
 import jax
 

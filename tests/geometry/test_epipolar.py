@@ -103,3 +103,29 @@ def test_batched_eight_point(rng):
     assert E.shape == (4, 3, 3)
     d = epipolar.sampson_distance_sq(E, x1, x2)
     assert float(jnp.max(d)) < 1e-6
+
+
+def test_svd3x3_rank_deficient_orthonormal(rng):
+    """Rank-1/rank-0 inputs must still yield orthonormal U and V with
+    H = U diag(S) V^T (advisor r4: the u2 column previously collapsed to a
+    near-zero direction for rank<=1 H because it had no probe fallback)."""
+    a = rng.normal(size=3).astype(np.float32)
+    b = rng.normal(size=3).astype(np.float32)
+    rank1 = np.outer(a, b)
+    cases = np.stack(
+        [
+            rank1,
+            np.zeros((3, 3), np.float32),
+            np.diag([2.0, 0.0, 0.0]).astype(np.float32),
+            rng.normal(size=(3, 3)).astype(np.float32),  # full-rank control
+        ]
+    )
+    U, S, Vt = epipolar._svd3x3(jnp.asarray(cases))
+    U, S, Vt = np.asarray(U), np.asarray(S), np.asarray(Vt)
+    eye = np.eye(3, dtype=np.float32)
+    for i in range(len(cases)):
+        np.testing.assert_allclose(U[i].T @ U[i], eye, atol=2e-3)
+        np.testing.assert_allclose(Vt[i] @ Vt[i].T, eye, atol=2e-3)
+        np.testing.assert_allclose(
+            U[i] @ np.diag(S[i]) @ Vt[i], cases[i], atol=5e-3
+        )
