@@ -10,7 +10,7 @@ set -x
 for d in tests/geometry tests/common tests/ops tests/frontend tests/twoview \
          tests/multiview tests/bundle tests/io tests/loader tests/densify \
          tests/evaluation tests/retriever tests/pipeline tests/parallel \
-         tests/repro tests/ui; do
+         tests/repro tests/ui tests/differential; do
   GTSFM_TEST_CACHE_WRITE=1 timeout 2400 python -m pytest "$d" -q || true
 done
 GTSFM_TEST_CACHE_WRITE=1 timeout 2400 python -m pytest tests/test_integration_door.py -q || true
