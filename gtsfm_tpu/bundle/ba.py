@@ -40,6 +40,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gtsfm_tpu.common.scene import SceneData
 from gtsfm_tpu.geometry import cameras as cam_mod
@@ -988,16 +989,33 @@ def _make_band_bucket(scene: SceneData, L: int, C_: int, plan: BandPlan) -> _Ban
     T2 = scene.num_tracks_padded
     M = scene.meas_cam.shape[0]
     mt_eff = jnp.where(scene.meas_mask > 0, scene.meas_track, T2)
-    start = jnp.searchsorted(mt_eff, jnp.arange(T2 + 1))
+    # method="sort": the default binary-search lowering runs 17 sequential
+    # gather rounds (~1.4 ms at 131k meas); one co-sort is ~0.1 ms (r5).
+    start = jnp.searchsorted(mt_eff, jnp.arange(T2 + 1), method="sort")
     counts = start[1:] - start[:-1]
     l_idx = jnp.arange(L)
     valid = l_idx[None, :] < counts[:, None]
     src = jnp.minimum(start[:-1][:, None] + l_idx[None, :], M - 1).reshape(-1)
     bmask = valid.astype(scene.meas_uv.dtype)
-    cam_b = scene.meas_cam[src].reshape(T2, L) * valid
-    uv_b = scene.meas_uv[src].reshape(T2, L, 2) * bmask[..., None]
+    # One packed row-gather instead of two (index-rate-bound; see the
+    # lm_optimize prologue note).
+    packed = jnp.stack(
+        [
+            scene.meas_cam.astype(jnp.float32),
+            scene.meas_uv[..., 0].astype(jnp.float32),
+            scene.meas_uv[..., 1].astype(jnp.float32),
+        ],
+        -1,
+    )[src]
+    cam_b = packed[:, 0].astype(scene.meas_cam.dtype).reshape(T2, L) * valid
+    uv_b = (packed[:, 1:3].astype(scene.meas_uv.dtype).reshape(T2, L, 2)
+            * bmask[..., None])
     cam_loc = jnp.clip(cam_b - plan.track_window[:, None] * C_, 0, 2 * C_ - 1)
     onehot_loc = jax.nn.one_hot(cam_loc, 2 * C_, dtype=scene.meas_uv.dtype) * bmask[..., None]
+    # Barrier: without it XLA REMATERIALIZES the one_hot*bmask product inside
+    # the LM while-loop every iteration instead of keeping the loop-invariant
+    # bucket alive (~63 us/iter at the 128-cam bench, r5 trace).
+    onehot_loc = jax.lax.optimization_barrier(onehot_loc)
     return _BandBucket(
         cam_b=cam_b, uv_b=uv_b, bmask=bmask, onehot_loc=onehot_loc,
         track_window=plan.track_window, block_window=plan.block_window,
@@ -1042,11 +1060,19 @@ def _routed_states_banded(scene: SceneData, bucket: "_BandBucket",
 def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
                          cam_free: jnp.ndarray,
                          points: jnp.ndarray | None = None,
-                         track_mask: jnp.ndarray | None = None):
+                         track_mask: jnp.ndarray | None = None,
+                         emit_extras: bool = False):
     """_build_blocks_bucketed for the banded layout (gather-routed states).
 
     points/track_mask default to the scene's; pass explicit ROW-SHARDED
-    slices (matching bucket's row range) inside shard_map."""
+    slices (matching bucket's row range) inside shard_map.
+
+    emit_extras: additionally return the low-precision (T2, L, 2, *) block
+    views and the per-track Hpp/bp reductions the dense-banded Schur solve
+    consumes. Emitting them HERE writes them once from the build's own
+    fusion; recomputing them inside the solve cost ~350 us/iter of relayout
+    copies + re-reads at the 128-cam bench (r5 trace). Return shape:
+    (r, Jc, Jc_g, Jp_g, Hpp, bp, cost) instead of (r, Jc, Jp, cost)."""
     if points is None:
         points = scene.points
     if track_mask is None:
@@ -1082,6 +1108,17 @@ def _build_blocks_banded(scene: SceneData, bucket: _BandBucket, cfg: BAConfig,
     if not cfg.optimize_calibration:
         Jc = Jc[..., :POSE_DIM]
     Jc = _mask_free_columns(Jc, cam_free_slot)
+    if emit_extras:
+        D = Jc.shape[-1]
+        g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+        Jc_g = Jc.reshape(T2, L, 2, D).astype(g_dtype)
+        Jp_g = Jp.reshape(T2, L, 2, 3).astype(g_dtype)
+        Jp_b = Jp.reshape(T2, L, 2, 3)
+        Hpp = _outer2(Jp_b, Jp_b).sum(1)
+        bp = -_matvec2(Jp_b, r.reshape(T2, L, 2)).sum(1)
+        return jax.lax.optimization_barrier(
+            (r, Jc, Jc_g, Jp_g, Hpp, bp, cost)
+        )
     return jax.lax.optimization_barrier((r, Jc, Jp, cost))
 
 
@@ -1116,7 +1153,8 @@ def _win_overlap_add(x_win: jnp.ndarray, B_: int, half: int) -> jnp.ndarray:
 
 
 def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
-                              lam, cfg: BAConfig, prior_blocks=None):
+                              lam, cfg: BAConfig, prior_blocks=None,
+                              extras=None):
     """Camera-banded scatter-free exact reduced-camera solve.
 
     Identical math to _schur_solve_dense_bucketed, but every one-hot routing
@@ -1124,6 +1162,11 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     cameras (N/(2C)x less HBM traffic and MXU work in the dominant G/C/S_red
     chain); per-window (2C*9)^2 reduction blocks are overlap-added into the
     dense S, whose Cholesky is unchanged.
+
+    extras: (Jc_g, Jp_g, Hpp, bp) emitted by
+    _build_blocks_banded(emit_extras=True) — the low-precision block views
+    and track reductions, written once inside the build fusion. When given,
+    Jp may be None (every use of it is covered by the extras).
     """
     C_, B_, T2, Tb, K = cfg.band
     N = scene.num_cameras_padded
@@ -1133,29 +1176,76 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     CD = C_ * D
     bar = jax.lax.optimization_barrier
     oh = bucket.onehot_loc  # (T2, L, Wd)
-    Jc_b = Jc.reshape(T2, L, 2, D)
-    Jp_b = Jp.reshape(T2, L, 2, 3)
+    # Window one-hot (K blocks -> B windows): segment_sum over the block axis
+    # lowers to a serialized scatter-add on TPU (~150 us/iter for a (16, 96)
+    # output in the r4 trace); a {0,1} matmul is MXU work instead (r5).
+    win_oh = jax.nn.one_hot(bucket.block_window, B_, dtype=r.dtype)  # (K, B)
 
-    # Hcc + bc via window-local routing: one batched (Wd x TbL)(TbL x 90)
-    # GEMM per block, window-reduced, overlap-added onto the camera axis.
-    JJ = bar(_outer2(Jc, Jc).reshape(T2 * L, D * D))
-    Jr = _matvec2(Jc, r.reshape(T2 * L, 2))
-    JJr = jnp.concatenate([JJ, Jr], -1)  # (T2L, 90)
+    def win_reduce(blk):
+        """(K, X...) -> (B, X...) one-hot block->window reduction."""
+        x = blk.reshape(K, -1)
+        out = jax.lax.dot_general(
+            win_oh, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=r.dtype,
+        )
+        return out.reshape((B_,) + blk.shape[1:])
+
+    # Hcc + bc via window-local routing. [Jc | r] has E = D+1 columns whose
+    # 2-row Gram matrix holds Hcc (D x D block), J^T r (last column) and rr
+    # (unused); it is SYMMETRIC, so only the E(E+1)/2 upper-triangle
+    # products are routed — 28 lanes instead of the r4 code's 42-wide
+    # [vec(JJ) | Jr] concat, which cost an extra concat + two relayout
+    # copies + a separate J^T r reduction (~200 us/iter of feeders at the
+    # 128-cam bench, r5 trace).
+    E = D + 1
+    r2 = r.reshape(T2 * L, 2)
+
+    def _jcol(i):
+        return Jc[:, :, i] if i < D else r2  # (T2L, 2)
+
+    triu = [(i, j) for i in range(E) for j in range(i, E) if (i, j) != (E - 1, E - 1)]
+    prods = [
+        _jcol(i)[:, 0] * _jcol(j)[:, 0] + _jcol(i)[:, 1] * _jcol(j)[:, 1]
+        for (i, j) in triu
+    ]
+    P_ = len(triu)  # 27 for D=6
+    # Stack on axis 0: the contraction (measurement) axis stays minor-most
+    # in the stacked operand, which the MXU reads at full rate — the
+    # axis-(-1) stack forced a transposed read that ran the whole routing
+    # GEMM 11x slower (0.77 -> 0.067 ms standalone at the 128-cam bench).
+    JJp = bar(jnp.stack(prods, 0))  # (P_, T2L)
     ohb = oh.reshape(K, Tb * L, Wd)
     hw_blk = jax.lax.dot_general(
-        ohb, JJr.reshape(K, Tb * L, D * D + D),
-        (((1,), (1,)), ((0,), (0,))),
+        ohb, JJp.reshape(P_, K, Tb * L),
+        (((1,), (2,)), ((0,), (1,))),
         preferred_element_type=r.dtype,
-    )  # (K, Wd, 90)
-    hw = jax.ops.segment_sum(hw_blk, bucket.block_window, num_segments=B_,
-                             indices_are_sorted=True)
-    acc = _win_overlap_add(hw.reshape(B_, Wd * (D * D + D)), B_, C_ * (D * D + D))
-    acc = acc.reshape((B_ + 1) * C_, D * D + D)[:N]
-    Hcc = bar(acc[:, : D * D].reshape(N, D, D))
-    bc = -acc[:, D * D :]
+    )  # (K, Wd, P_)
+    hw = win_reduce(hw_blk)
+    acc = _win_overlap_add(hw.reshape(B_, Wd * P_), B_, C_ * P_)
+    acc = acc.reshape((B_ + 1) * C_, P_)[:N]  # (N, P_) upper-tri Gram
+    # Expand the packed triangle to the full (E, E) Gram with one tiny
+    # constant matmul (symmetrize), then split Hcc / bc.
+    expand = np.zeros((P_, E * E), np.float32)
+    for k, (i, j) in enumerate(triu):
+        expand[k, i * E + j] = 1.0
+        expand[k, j * E + i] = 1.0
+    full = (acc @ jnp.asarray(expand)).reshape(N, E, E)
+    Hcc = bar(full[:, :D, :D])
+    bc = -full[:, :D, D]
 
-    Hpp = _outer2(Jp_b, Jp_b).sum(1)
-    bp = -_matvec2(Jp_b, r.reshape(T2, L, 2)).sum(1)
+    if extras is not None:
+        Jc_g, Jp_g, Hpp, bp = extras
+        W = bar(_outer2(Jp_g, Jc_g))  # (T2, L, 3, D)
+    else:
+        Jp_b = Jp.reshape(T2, L, 2, 3)
+        g_dt = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
+        Hpp = _outer2(Jp_b, Jp_b).sum(1)
+        bp = -_matvec2(Jp_b, r.reshape(T2, L, 2)).sum(1)
+        # (A flat-f32 W with one late convert was tried in r5 and measured
+        # net slower in context — 446 vs 465 iters/s — XLA's layout
+        # assignment just moved the repack.)
+        W = bar(_outer2(Jp_b.astype(g_dt),
+                        Jc.reshape(T2, L, 2, D).astype(g_dt)))
 
     if prior_blocks is not None:
         rp, Ja, Jb, ea, eb = prior_blocks
@@ -1169,14 +1259,12 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
     Hpp_inv = bar(_inv3x3(Hpp_d))
 
     # Local coupling G_loc over Wd lanes (bf16; {0,1} routing exact), built
-    # by compare-mask accumulation over the L slots — ~30% faster than the
-    # per-track (Wd x L)(L x 27) einsum at these tiny-matmul shapes. The
-    # per-slot coupling W_l is computed inside the loop (never materialized
-    # as a full (T2, L, 3, D) f32 tensor — each slot's outer product is
-    # consumed once). Blocks are zero at masked slots, so the clipped camera
-    # index of a masked slot routes only zeros.
-    g_dtype = jnp.bfloat16 if cfg.schur_bf16 else r.dtype
-    W = bar(_outer2(Jp_b.astype(g_dtype), Jc_b.astype(g_dtype)))  # (T2, L, 3, D)
+    # by compare-mask accumulation over the L slots of the pre-computed
+    # per-slot coupling W — ~30% faster than the per-track
+    # (Wd x L)(L x 27) einsum at these tiny-matmul shapes. Blocks are zero
+    # at masked slots, so the clipped camera index of a masked slot routes
+    # only zeros.
+    g_dtype = W.dtype
     cam_loc = jnp.clip(bucket.cam_b - bucket.track_window[:, None] * C_, 0, Wd - 1)
     lane = jnp.arange(Wd, dtype=jnp.int32)
     G4 = jnp.zeros((T2, 3, Wd, D), g_dtype)
@@ -1190,33 +1278,53 @@ def _schur_solve_dense_banded(r, Jc, Jp, bucket: _BandBucket, scene: SceneData,
         (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=r.dtype,
     )  # (K, WdD, WdD) f32
-    S_win = jax.ops.segment_sum(S_blk, bucket.block_window, num_segments=B_,
-                                indices_are_sorted=True)
+    S_win = win_reduce(S_blk)
 
-    # Overlap-add the window blocks into the dense reduced system.
+    # Assemble the dense reduced system SCATTER-FREE. The r4 code overlap-
+    # added via 2-axis batch-diagonal .at[ib, :, ib, :].add scatters, which
+    # XLA lowered to two transposing relayout copies of the full dense S
+    # every iteration (~320 us at 128 cams — the single largest op pair in
+    # the r4 LM-step trace). Instead: build per-row-window band STRIPS
+    # [left | diag | right] with shifts/concats, then place the strips at
+    # their column offsets with one {0,1} placement GEMM.
+    Bw = B_ + 1
     Sq = S_win.reshape(B_, 2, CD, 2, CD)
-    S_ext = jnp.zeros((B_ + 1, CD, B_ + 1, CD), r.dtype)
-    ib = jnp.arange(B_)
-    S_ext = S_ext.at[ib, :, ib, :].add(Sq[:, 0, :, 0, :])
-    S_ext = S_ext.at[ib, :, ib + 1, :].add(Sq[:, 0, :, 1, :])
-    S_ext = S_ext.at[ib + 1, :, ib, :].add(Sq[:, 1, :, 0, :])
-    S_ext = S_ext.at[ib + 1, :, ib + 1, :].add(Sq[:, 1, :, 1, :])
-    S_red = S_ext.reshape((B_ + 1) * CD, (B_ + 1) * CD)[: N * D, : N * D]
-
-    idx = jnp.arange(N)
-    S4 = (-S_red).reshape(N, D, N, D).at[idx, :, idx, :].add(Hcc_d)
+    zb = jnp.zeros((1, CD, CD), r.dtype)
+    # Row-window i rows come from block i (top half) and block i-1 (bottom).
+    diag_s = (jnp.concatenate([Sq[:, 0, :, 0, :], zb]) +
+              jnp.concatenate([zb, Sq[:, 1, :, 1, :]]))  # (Bw, CD, CD)
+    right_s = jnp.concatenate([Sq[:, 0, :, 1, :], zb])
+    left_s = jnp.concatenate([zb, Sq[:, 1, :, 0, :]])
+    # S = blockdiag(Hcc_d) - S_red: expand Hcc_d into per-window block-
+    # diagonal form and fold the sign into the strips.
+    Hpad = jnp.zeros((Bw * C_, D, D), r.dtype).at[:N].set(Hcc_d)
+    Hw = Hpad.reshape(Bw, C_, D, D)
+    eyeC = jnp.eye(C_, dtype=r.dtype)
+    Hblk = (eyeC[None, :, None, :, None] * Hw[:, :, :, None, :]).reshape(
+        Bw, CD, CD
+    )
+    strips = jnp.concatenate(
+        [-left_s, Hblk - diag_s, -right_s], axis=-1
+    )  # (Bw, CD, 3CD)
+    Wcols = Bw * CD
+    col = (jnp.arange(Bw)[:, None] - 1) * CD + jnp.arange(3 * CD)[None, :]
+    shift = jax.nn.one_hot(col, Wcols, dtype=r.dtype)  # const — LICM-hoisted
+    dense = jax.lax.dot_general(
+        strips, shift, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=r.dtype,
+    )  # (Bw, CD, Wcols)
+    S = dense.reshape(Bw * CD, Wcols)[: N * D, : N * D]
     if prior_blocks is not None:
         rp, Ja, Jb, ea, eb = prior_blocks
         cross = jnp.einsum("eki,ekj->eij", Ja, Jb)
-        S4 = S4.at[ea, :, eb, :].add(cross)
+        S4 = S.reshape(N, D, N, D).at[ea, :, eb, :].add(cross)
         S4 = S4.at[eb, :, ea, :].add(jnp.swapaxes(cross, -1, -2))
-    S = S4.reshape(N * D, N * D)
+        S = S4.reshape(N * D, N * D)
 
     # rhs via the local coupling, overlap-added to camera lanes.
     hb = jnp.einsum("tij,tj->ti", Hpp_inv, bp)
     y_loc = jnp.einsum("tin,ti->tn", G_loc, hb, preferred_element_type=r.dtype)
-    y_win = jax.ops.segment_sum(y_loc, bucket.track_window, num_segments=B_,
-                                indices_are_sorted=True)  # (B, WdD)
+    y_win = win_reduce(y_loc.reshape(K, Tb, Wd * D).sum(axis=1))  # (B, WdD)
     v = bc.reshape(-1) - _win_overlap_add(y_win, B_, CD)[: N * D]
 
     diag = jnp.diagonal(S)
@@ -1596,11 +1704,13 @@ def lm_optimize(
     cam_free = (1.0 - cam_fixed) * scene.camera_mask
 
     T_in = scene.num_tracks_padded
+    mt_orig = None
     if use_band:
         # Regroup tracks into banded rows (window-grouped, block-padded); the
         # permutation is undone on exit so callers see the input track layout.
         C_, B_, T2, Tb, K = cfg.band
         rot = band_plan.row_of_track
+        mt_orig = scene.meas_track  # pre-regroup ids, for the exit un-permute
         scene = dataclasses.replace(
             scene,
             points=jnp.zeros((T2, 3), scene.points.dtype).at[rot].set(scene.points),
@@ -1616,13 +1726,33 @@ def lm_optimize(
     T_pad = scene.num_tracks_padded
     sort_track = jnp.where(scene.meas_mask > 0, scene.meas_track, T_pad)
     order = jnp.argsort(sort_track * N + scene.meas_cam)
+    # ONE row-gather for all four measurement arrays: TPU gathers are
+    # index-rate-bound, so 4 separate 131k-row gathers cost ~4x one packed
+    # gather (~4.8 ms of the r4 prologue at the 128-cam bench; r5 trace).
+    # cam/track indices round-trip exactly through f32 (< 2^24).
+    cols = [
+        scene.meas_cam.astype(jnp.float32),
+        scene.meas_track.astype(jnp.float32),
+        scene.meas_uv[..., 0].astype(jnp.float32),
+        scene.meas_uv[..., 1].astype(jnp.float32),
+        scene.meas_mask.astype(jnp.float32),
+    ]
+    if mt_orig is not None:
+        # 6th column: the PRE-regroup track ids ride the same gather, so
+        # the exit un-permute needs no old_of_row gather of its own (the
+        # composition old_of_row[clip(rot[mt])] is mt itself; a separate
+        # 131k-row epilogue gather cost ~1.5 ms — r5).
+        cols.append(mt_orig.astype(jnp.float32))
+    packed = jnp.stack(cols, -1)[order]
     scene = dataclasses.replace(
         scene,
-        meas_cam=scene.meas_cam[order],
-        meas_track=scene.meas_track[order],
-        meas_uv=scene.meas_uv[order],
-        meas_mask=scene.meas_mask[order],
+        meas_cam=packed[:, 0].astype(scene.meas_cam.dtype),
+        meas_track=packed[:, 1].astype(scene.meas_track.dtype),
+        meas_uv=packed[:, 2:4].astype(scene.meas_uv.dtype),
+        meas_mask=packed[:, 4].astype(scene.meas_mask.dtype),
     )
+    if mt_orig is not None:
+        mt_orig_sorted = packed[:, 5].astype(mt_orig.dtype)
 
     use_dense = _use_dense_schur(scene) or band_dense
     bucket = None
@@ -1631,9 +1761,20 @@ def lm_optimize(
     elif cfg.bucket_l is not None:
         bucket = _make_bucket(scene, cfg.bucket_l)
 
+    # NOTE: emitting the solve's bf16 block views from the build
+    # (emit_extras) and carrying them through the loop was tried in r5 and
+    # measured NET SLOWER (454 -> 354 iters/s at the 128-cam bench): the
+    # accept-select jnp.where over packed-bf16 loop carries lowers to ~40
+    # GB/s select+reshape passes that cost more than the in-solve
+    # conversions they replaced. The plumbing stays for shard_map callers
+    # that build and solve once (no carry), but the LM loop keeps the f32
+    # (r, Jc, Jp) carry.
+    emit = False
+
     def build(s):
         if use_band:
-            return _build_blocks_banded(s, bucket, cfg, cam_free)
+            return _build_blocks_banded(s, bucket, cfg, cam_free,
+                                        emit_extras=emit)
         if bucket is not None:
             return _build_blocks_bucketed(s, bucket, cfg, cam_free)
         return _build_blocks(s, cfg, cam_free)
@@ -1647,12 +1788,12 @@ def lm_optimize(
     # robust cost of their residuals), so each LM iteration runs exactly one
     # projection pass: blocks of the CANDIDATE are built to score it and are
     # carried into the next iteration when accepted.
-    r0, Jc0, Jp0, bcost0 = build(scene)
+    out0 = build(scene)
+    blocks0, bcost0 = out0[:-1], out0[-1]
     cost0 = with_prior_cost(scene, bcost0)
 
     def body(carry):
         scene, blocks, lam, cost, it, _ = carry
-        r, Jc, Jp = blocks
         pb = None
         if priors is not None:
             rp, Ja, Jb = _prior_blocks(scene, priors, cam_free)
@@ -1665,30 +1806,43 @@ def lm_optimize(
             # Large-N banded scene: window-local matrix-free PCG. Priors join
             # as per-edge correction terms in the matvec (the between-factor
             # (a,b) coupling need not respect window boundaries).
+            r, Jc, Jp = blocks
             dc, dp = _schur_solve_pcg_banded(r, Jc, Jp, bucket, scene, lam, cfg, pb)
         elif use_dense:
-            if use_band:
-                dc, dp = _schur_solve_dense_banded(r, Jc, Jp, bucket, scene, lam, cfg, pb)
+            if use_band and emit:
+                r, Jc, Jc_g, Jp_g, Hpp, bp = blocks
+                dc, dp = _schur_solve_dense_banded(
+                    r, Jc, None, bucket, scene, lam, cfg, pb,
+                    extras=(Jc_g, Jp_g, Hpp, bp))
+            elif use_band:
+                r, Jc, Jp = blocks
+                dc, dp = _schur_solve_dense_banded(
+                    r, Jc, Jp, bucket, scene, lam, cfg, pb)
             elif bucket is not None:
+                r, Jc, Jp = blocks
                 dc, dp = _schur_solve_dense_bucketed(r, Jc, Jp, bucket, scene, lam, cfg, pb)
             else:
+                r, Jc, Jp = blocks
                 dc, dp = _schur_solve_dense(r, Jc, Jp, scene, lam, cfg, pb)
         elif bucket is not None:
             # Large camera count: scatter-free bucketed matrix-free PCG.
+            r, Jc, Jp = blocks
             dc, dp = _schur_solve_pcg_bucketed(r, Jc, Jp, bucket, scene, lam, cfg, pb)
         else:
+            r, Jc, Jp = blocks
             dc, dp = _schur_solve(r, Jc, Jp, scene, lam, cfg, pb)
         cand = _update_scene(scene, dc, dp)
         if cfg.share_calibration:
             cand = _shared_calibration_step(cand, cfg)
-        rc, Jcc, Jpc, bcost_c = build(cand)
+        out_c = build(cand)
+        new_blocks, bcost_c = out_c[:-1], out_c[-1]
         new_cost = with_prior_cost(cand, bcost_c)
         accept = new_cost < cost
         scene = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, scene
         )
         blocks = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), (rc, Jcc, Jpc), blocks
+            lambda a, b: jnp.where(accept, a, b), new_blocks, blocks
         )
         cost_next = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(
@@ -1705,7 +1859,7 @@ def lm_optimize(
 
     scene_f, _, lam_f, cost_f, iters, _ = jax.lax.while_loop(
         cond, body,
-        (scene, (r0, Jc0, Jp0), jnp.asarray(cfg.lambda_init, cost0.dtype), cost0,
+        (scene, blocks0, jnp.asarray(cfg.lambda_init, cost0.dtype), cost0,
          jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     if use_band:
@@ -1716,9 +1870,7 @@ def lm_optimize(
             scene_f,
             points=scene_f.points[rot],
             track_mask=scene_f.track_mask[rot],
-            meas_track=band_plan.old_of_row[
-                jnp.clip(scene_f.meas_track, 0, band_plan.old_of_row.shape[0] - 1)
-            ],
+            meas_track=mt_orig_sorted,
         )
     return BAResult(scene=scene_f, initial_cost=cost0, final_cost=cost_f, iterations=iters)
 

@@ -28,7 +28,8 @@ DEFAULT_MATRIX = [
     ("door-12-nointrinsics-sift", "olsson", "set2_lund_door_nointrinsics", []),
     ("door-12-orb", "olsson", "set1_lund_door",
      ["frontend.feature_type=orb", "frontend.max_keypoints=4096"]),
-    ("hilti-rig-sift", "hilti", "hilti_exp4_small", []),
+    ("hilti-rig-sift", "hilti", "hilti_exp4_small",
+     ["retriever.regime=sequential_hilti"]),
     ("mobilebrick-sift", "mobilebrick", "mobilebrick", []),
     # 4-frame Vesta opnav fixture: ~5 deg FOV (f=10715 px) makes the global
     # geometry near-degenerate (bas-relief); tracked for regression, not for

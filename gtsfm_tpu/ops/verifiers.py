@@ -379,11 +379,19 @@ def verify_fundamental_degensac_batched(
     )
 
 
+# COLMAP two-view configuration codes (reference gric_verifier.py:37-55).
+CONFIG_CALIBRATED = 2  # essential matrix
+CONFIG_UNCALIBRATED = 3  # fundamental matrix
+CONFIG_PLANAR_OR_PANORAMIC = 6  # homography
+
+
 class GRICResult(NamedTuple):
-    prefer_fundamental: jnp.ndarray  # (P,) bool — F beats H (non-planar)
+    prefer_fundamental: jnp.ndarray  # (P,) bool — epipolar beats H (non-planar)
     gric_F: jnp.ndarray
     gric_H: jnp.ndarray
     H: jnp.ndarray  # (P, 3, 3) best homography
+    gric_E: jnp.ndarray  # (P,) +inf when no calibrated column was scored
+    config: jnp.ndarray  # (P,) int32 COLMAP ConfigurationType code
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -395,14 +403,25 @@ def gric_select_batched(
     F: jnp.ndarray,  # (P, 3, 3) fitted fundamental matrices
     sigma_px: float = 1.0,
     num_hypotheses: int = 128,
+    E: jnp.ndarray | None = None,  # (P, 3, 3) essential (normalized coords)
+    x1n: jnp.ndarray | None = None,  # (P, N, 2) normalized coords for E
+    x2n: jnp.ndarray | None = None,
+    focal: jnp.ndarray | None = None,  # (P,) mean focal px (E error scaling)
 ) -> GRICResult:
-    """Torr's GRIC comparison of F (d=3, k=7) vs H (d=2, k=8).
+    """Torr's GRIC model selection: E (d=3, k=5) vs F (d=3, k=7) vs H
+    (d=2, k=8) — the reference's GRIC verifier "automatically checks E vs.
+    F vs. H inliers" (gric_verifier.py:64, COLMAP two-view geometry
+    estimation); the E column runs only when (E, x1n, x2n, focal) are
+    given (calibrated pair).
 
     GRIC = sum_i rho(e_i^2 / sigma^2) + lambda1 * d * n + lambda2 * k, with
     rho(x) = min(x, 2 (r - d)), r = 4, lambda1 = log(r), lambda2 = log(r n).
-    Lower is better; prefer_fundamental = GRIC_F < GRIC_H (pycolmap
-    gric_verifier semantics: planar/rotation-only pairs select H and are
-    treated as degenerate for E recovery).
+    Lower is better; prefer_fundamental = min(GRIC_E, GRIC_F) < GRIC_H
+    (planar/rotation-only pairs select H and are treated as degenerate for
+    E recovery). `config` maps the winner to COLMAP's ConfigurationType:
+    CALIBRATED (2) / UNCALIBRATED (3) / PLANAR_OR_PANORAMIC (6). E's
+    Sampson error is expressed in pixels via focal^2 so all three columns
+    share sigma_px.
     """
     P, N, _ = uv1.shape
     n_live = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
@@ -437,6 +456,20 @@ def gric_select_batched(
     e_H = homography_transfer_error_sq(H, uv1, uv2)
     gric_F = gric(e_F, d=3.0, k=7.0)
     gric_H = gric(e_H, d=2.0, k=8.0)
+    if E is not None:
+        # Normalized Sampson scales to pixels by f^2 (the same conversion
+        # the verifier threshold uses, thr_norm = thr_px / f).
+        e_E = epipolar.sampson_distance_sq(E, x1n, x2n) * (focal**2)[:, None]
+        gric_E = gric(e_E, d=3.0, k=5.0)
+    else:
+        gric_E = jnp.full(uv1.shape[0], jnp.inf, uv1.dtype)
+    gric_epi = jnp.minimum(gric_E, gric_F)
+    config = jnp.where(
+        gric_H <= gric_epi,
+        CONFIG_PLANAR_OR_PANORAMIC,
+        jnp.where(gric_E < gric_F, CONFIG_CALIBRATED, CONFIG_UNCALIBRATED),
+    ).astype(jnp.int32)
     return GRICResult(
-        prefer_fundamental=gric_F < gric_H, gric_F=gric_F, gric_H=gric_H, H=H
+        prefer_fundamental=gric_epi < gric_H, gric_F=gric_F, gric_H=gric_H,
+        H=H, gric_E=gric_E, config=config,
     )

@@ -95,6 +95,15 @@ class SceneOptimizer:
             pairs = exhaustive_pairs(n)
         elif cfg.regime in ("retrieval", "sequential_with_retrieval"):
             pairs = self._retrieval_pairs(loader)
+        elif cfg.regime == "sequential_hilti":
+            # Rig sliding window over FOV-overlapping camera combinations
+            # (reference ImageMatchingRegime.SEQUENTIAL_HILTI);
+            # max_frame_lookahead counts RIG stations here.
+            from gtsfm_tpu.retriever import sequential_hilti_pairs
+
+            pairs = sequential_hilti_pairs(
+                n, max_rig_lookahead=min(cfg.max_frame_lookahead, 3)
+            )
         else:
             pairs = sequential_pairs(n, cfg.max_frame_lookahead)
         return [p for p in pairs if loader.is_valid_pair(*p)]
@@ -126,12 +135,16 @@ class SceneOptimizer:
                 rgb = np.stack([rgb] * 3, -1)
             descs.append(np.asarray(model(jnp.asarray(rgb)[None]))[0])
         descs = jnp.asarray(np.stack(descs))
-        sim = similarity.similarity_matrix(descs)
+        # Device-side top-K: fetches (N, K) instead of the dense (N, N)
+        # similarity matrix (similarity.retrieve_pairs_topk).
+        pairs = similarity.retrieve_pairs_topk(
+            descs, cfg.num_matched, cfg.min_score
+        )
         if cfg.regime == "sequential_with_retrieval":
-            return similarity.joint_sequential_retrieval_pairs(
-                sim, cfg.max_frame_lookahead, cfg.num_matched, cfg.min_score
+            return similarity.union_with_window(
+                pairs, len(loader), cfg.max_frame_lookahead
             )
-        return similarity.retrieve_pairs(sim, cfg.num_matched, cfg.min_score)
+        return pairs
 
     def _make_detector(self):
         """Returns detect(gray_image) -> features with (uv, response,

@@ -10,6 +10,8 @@ above min_score, plus the joint sequential+retrieval union
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,19 +34,87 @@ def similarity_matrix(descriptors: jnp.ndarray, block: int = 1024) -> np.ndarray
 def retrieve_pairs(
     sim: np.ndarray, num_matched: int = 5, min_score: float = 0.1
 ) -> list[tuple[int, int]]:
-    """Top-K neighbors per query above min_score (netvlad_retriever.py:54)."""
+    """Top-K neighbors per query above min_score (netvlad_retriever.py:54).
+
+    Vectorized: one argpartition over the whole matrix instead of a per-row
+    argsort loop (the loop was ~8 s at the 10k envelope; this is ~0.5 s).
+    """
     n = sim.shape[0]
-    pairs = set()
+    k = min(num_matched, n - 1)
+    if k <= 0:
+        return []
     s = sim.copy()
     np.fill_diagonal(s, -np.inf)
-    for i in range(n):
-        nbrs = np.argsort(-s[i])[:num_matched]
-        for j in nbrs:
-            if s[i, j] >= min_score:
-                a, b = (i, int(j)) if i < j else (int(j), i)
-                if a != b:
-                    pairs.add((a, b))
-    return sorted(pairs)
+    nbrs = np.argpartition(-s, k - 1, axis=1)[:, :k]  # top-k per row, unordered
+    scores = np.take_along_axis(s, nbrs, axis=1)
+    qi = np.repeat(np.arange(n), k)
+    qj = nbrs.ravel()
+    keep = scores.ravel() >= min_score
+    a = np.minimum(qi[keep], qj[keep])
+    b = np.maximum(qi[keep], qj[keep])
+    return sorted({(int(x), int(y)) for x, y in zip(a, b) if x != y})
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_block(q, base, descriptors, k):
+    s = q @ descriptors.T  # (B, N)
+    cols = jnp.arange(s.shape[1])[None, :]
+    self_col = base + jnp.arange(q.shape[0])[:, None]
+    s = jnp.where(cols == self_col, -jnp.inf, s)
+    # approx_max_k at recall 1.0: the TPU-native bucketed top-k; lax.top_k
+    # lowers to a FULL per-row sort (measured 64 s of sort for 10 blocks at
+    # the 10k envelope vs ~1 s here).
+    return jax.lax.approx_max_k(s, k, recall_target=1.0)
+
+
+def retrieve_pairs_topk(
+    descriptors: jnp.ndarray,
+    num_matched: int = 5,
+    min_score: float = 0.1,
+    block: int = 1024,
+) -> list[tuple[int, int]]:
+    """Top-K retrieval with the reduction ON DEVICE: per block row, one MXU
+    similarity block + lax.top_k; the host fetches only (N, K) scores and
+    indices. At the 10k envelope this fetches ~400 KB instead of the 400 MB
+    dense similarity matrix — the dense fetch dominated the r5 measurement
+    (57 s through the remote-TPU tunnel vs ~1 s here). Pair semantics are
+    identical to similarity_matrix + retrieve_pairs.
+    """
+    n = descriptors.shape[0]
+    if n > MAX_NUM_IMAGES:
+        raise ValueError(f"too many images ({n} > {MAX_NUM_IMAGES})")
+    k = min(num_matched, n - 1)
+    if k <= 0:
+        return []
+
+    pad = (-n) % block
+    dpad = jnp.pad(descriptors, ((0, pad), (0, 0)))
+    # Dispatch every block, then fetch: per-block fetches would serialize
+    # each block against the tunnel round-trip. (_topk_block is a
+    # module-level jit — a per-call closure would recompile every call.)
+    outs = [
+        _topk_block(dpad[s0 : s0 + block], jnp.int32(s0), descriptors, k)
+        for s0 in range(0, n, block)
+    ]
+    scores = np.concatenate([np.asarray(v) for v, _ in outs])[:n]
+    nbrs = np.concatenate([np.asarray(j) for _, j in outs])[:n]
+    qi = np.repeat(np.arange(n), k)
+    qj = nbrs.ravel()
+    keep = scores.ravel() >= min_score
+    a = np.minimum(qi[keep], qj[keep])
+    b = np.maximum(qi[keep], qj[keep])
+    return sorted({(int(x), int(y)) for x, y in zip(a, b) if x != y})
+
+
+def union_with_window(
+    pairs: list[tuple[int, int]], n: int, max_frame_lookahead: int
+) -> list[tuple[int, int]]:
+    """Union a pair list with the sequential sliding window."""
+    out = set(pairs)
+    for a in range(n):
+        for b in range(a + 1, min(a + 1 + max_frame_lookahead, n)):
+            out.add((a, b))
+    return sorted(out)
 
 
 def joint_sequential_retrieval_pairs(
@@ -55,9 +125,7 @@ def joint_sequential_retrieval_pairs(
 ) -> list[tuple[int, int]]:
     """Union of the sliding window and retrieval pair sets
     (joint_netvlad_sequential_retriever.py:18)."""
-    n = sim.shape[0]
-    pairs = set(retrieve_pairs(sim, num_matched, min_score))
-    for a in range(n):
-        for b in range(a + 1, min(a + 1 + max_frame_lookahead, n)):
-            pairs.add((a, b))
-    return sorted(pairs)
+    return union_with_window(
+        retrieve_pairs(sim, num_matched, min_score), sim.shape[0],
+        max_frame_lookahead,
+    )

@@ -190,3 +190,85 @@ def test_gric_prefers_H_for_planar_scene(rng):
         jax.random.PRNGKey(1), uv1[None], uv2[None], jnp.ones((1, n_pts)), res_f.F
     )
     assert not bool(g.prefer_fundamental[0])
+
+
+def test_gric_three_way_e_vs_f_vs_h(rng):
+    """The reference's GRIC verifier 'automatically checks E vs. F vs. H'
+    (gric_verifier.py:64). Three configurations, three winners:
+      1. general scene, CORRECT calibration -> CALIBRATED (E: same fit as
+         F at a lower k penalty);
+      2. general scene, WRONG calibration (E fitted on badly-normalized
+         coords) -> UNCALIBRATED (F absorbs the unknown intrinsics);
+      3. planar scene -> PLANAR_OR_PANORAMIC.
+    """
+    from gtsfm_tpu.geometry import lie
+    from gtsfm_tpu.ops import ransac
+
+    f, c = 800.0, 500.0
+    n = 200
+
+    # --- 1. general scene, correct calibration
+    x1, x2, R, t = make_two_view_scene(rng, n_pts=n, noise=3e-4)
+    uv1, uv2 = to_pixels(x1), to_pixels(x2)
+    res_f = verifiers.verify_fundamental_batched(
+        jax.random.PRNGKey(0), uv1[None], uv2[None], jnp.ones((1, n)), 3.0,
+        num_hypotheses=256,
+    )
+    res_e = ransac.verify_essential_batched(
+        jax.random.PRNGKey(1), x1[None], x2[None], jnp.ones((1, n)),
+        threshold=4.0 / f, num_hypotheses=256,
+    )
+    E = lie.hat(res_e.i2Ui1) @ res_e.i2Ri1
+    g = verifiers.gric_select_batched(
+        jax.random.PRNGKey(2), uv1[None], uv2[None], jnp.ones((1, n)),
+        res_f.F, E=E, x1n=x1[None], x2n=x2[None],
+        focal=jnp.full((1,), f, jnp.float32),
+    )
+    assert bool(g.prefer_fundamental[0])
+    assert int(g.config[0]) == verifiers.CONFIG_CALIBRATED
+    assert float(g.gric_E[0]) < float(g.gric_F[0])
+
+    # --- 2. same pixels, WRONG calibration (focal off 2.5x): the E fitted
+    # on the badly normalized coordinates explains the data poorly.
+    f_bad = f / 2.5
+    x1_bad = (uv1 - c) / f_bad
+    x2_bad = (uv2 - c) / f_bad
+    res_e_bad = ransac.verify_essential_batched(
+        jax.random.PRNGKey(3), x1_bad[None], x2_bad[None], jnp.ones((1, n)),
+        threshold=4.0 / f_bad, num_hypotheses=256,
+    )
+    E_bad = lie.hat(res_e_bad.i2Ui1) @ res_e_bad.i2Ri1
+    g2 = verifiers.gric_select_batched(
+        jax.random.PRNGKey(4), uv1[None], uv2[None], jnp.ones((1, n)),
+        res_f.F, E=E_bad, x1n=x1_bad[None], x2n=x2_bad[None],
+        focal=jnp.full((1,), f_bad, jnp.float32),
+    )
+    assert int(g2.config[0]) == verifiers.CONFIG_UNCALIBRATED
+    assert float(g2.gric_F[0]) < float(g2.gric_E[0])
+
+    # --- 3. planar scene (all points on z=5): H wins over BOTH E and F.
+    Rp = np.asarray(lie.so3_exp(jnp.asarray([0.05, -0.1, 0.02])))
+    tp = np.asarray([0.4, 0.1, 0.05])
+    X1 = np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), np.full(n, 5.0),
+    ], -1).astype(np.float32)
+    X2 = X1 @ Rp.T + tp
+    x1p = jnp.asarray(X1[:, :2] / X1[:, 2:3])
+    x2p = jnp.asarray(X2[:, :2] / X2[:, 2:3])
+    uv1p, uv2p = to_pixels(x1p), to_pixels(x2p)
+    res_fp = verifiers.verify_fundamental_batched(
+        jax.random.PRNGKey(5), uv1p[None], uv2p[None], jnp.ones((1, n)), 3.0,
+        num_hypotheses=256,
+    )
+    res_ep = ransac.verify_essential_batched(
+        jax.random.PRNGKey(6), x1p[None], x2p[None], jnp.ones((1, n)),
+        threshold=4.0 / f, num_hypotheses=256,
+    )
+    Ep = lie.hat(res_ep.i2Ui1) @ res_ep.i2Ri1
+    g3 = verifiers.gric_select_batched(
+        jax.random.PRNGKey(7), uv1p[None], uv2p[None], jnp.ones((1, n)),
+        res_fp.F, E=Ep, x1n=x1p[None], x2n=x2p[None],
+        focal=jnp.full((1,), f, jnp.float32),
+    )
+    assert int(g3.config[0]) == verifiers.CONFIG_PLANAR_OR_PANORAMIC
+    assert not bool(g3.prefer_fundamental[0])
