@@ -120,6 +120,62 @@ def pair_sharded_verify(
 
 
 @functools.lru_cache(maxsize=32)
+def _triangulate_factory(mesh: Mesh, reproj_thresh_px: float,
+                         max_hypotheses: int):
+    """Compiled track-sharded robust triangulation program."""
+    from gtsfm_tpu.multiview import data_association as da
+
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(wRi, wti, cal, cam_idx_l, uv_l, mask_l):
+        res = da.triangulate_tracks_robust(
+            wRi, wti, cal, cam_idx_l, uv_l, mask_l,
+            reproj_thresh_px=reproj_thresh_px, max_hypotheses=max_hypotheses,
+        )
+        return res
+
+    return run
+
+
+def track_sharded_triangulate(
+    mesh: Mesh,
+    wRi: jnp.ndarray,  # (N, 3, 3) — replicated (camera state is tiny)
+    wti: jnp.ndarray,
+    cal: jnp.ndarray,
+    cam_idx: jnp.ndarray,  # (T, L) — T divisible by mesh size
+    uv: jnp.ndarray,  # (T, L, 2)
+    mask: jnp.ndarray,  # (T, L)
+    reproj_thresh_px: float = 10.0,
+    max_hypotheses: int = 128,
+):
+    """Robust track triangulation with the TRACKS axis sharded across the
+    mesh (cameras replicated) — the data-association fan-out of the
+    reference's Dask triangulation tasks (data_assoc.py) as one shard_map
+    with zero mid-stage collectives.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert cam_idx.shape[0] % n_dev == 0, "pad tracks to a multiple of mesh size"
+    run = _triangulate_factory(mesh, float(reproj_thresh_px),
+                               int(max_hypotheses))
+    reps = (P(), P(), P())
+    (wRi, wti, cal) = multihost.shard_inputs(mesh, reps, (wRi, wti, cal))
+    (cam_idx, uv, mask) = multihost.shard_inputs(
+        mesh, (P(axis), P(axis), P(axis)), (cam_idx, uv, mask)
+    )
+    out = run(wRi, wti, cal, cam_idx, uv, mask)
+    return multihost.gather_outputs(
+        mesh, jax.tree_util.tree_map(lambda _: P(axis), out), out
+    )
+
+
+@functools.lru_cache(maxsize=32)
 def _image_detect_factory(mesh: Mesh, detect_fn):
     """Compiled per-device detection program, cached on (mesh, detect_fn).
 

@@ -203,3 +203,31 @@ def test_distributed_priors_banded(rng):
         err = float(jnp.degrees(lie.rotation_angular_distance(
             jnp.asarray(aRb_f), priors.aRb[k])))
         assert err < 0.3
+
+
+def test_track_sharded_triangulate_matches_single_device(rng):
+    """Track-sharded robust triangulation (data-association fan-out,
+    reference data_assoc.py as Dask tasks): sharded result must equal the
+    single-device triangulation and recover GT points."""
+    from gtsfm_tpu.geometry import cameras
+    from gtsfm_tpu.multiview import data_association as da
+
+    mesh = distributed.make_mesh()
+    sc, _ = make_ba_problem(rng, n_cams=6, n_tracks=16)
+    T, L = 32, 4
+    X = rng.uniform(-2, 2, size=(T, 3)).astype(np.float32)
+    cam_idx = jnp.asarray(rng.integers(0, 6, size=(T, L)), jnp.int32)
+    uv, _ = cameras.project_bundler(
+        sc.wRi[cam_idx], sc.wti[cam_idx], sc.cal[cam_idx],
+        jnp.asarray(X)[:, None, :],
+    )
+    mask = jnp.ones((T, L))
+    out = distributed.track_sharded_triangulate(
+        mesh, sc.wRi, sc.wti, sc.cal, cam_idx, uv, mask, reproj_thresh_px=5.0
+    )
+    ref = da.triangulate_tracks_robust(
+        sc.wRi, sc.wti, sc.cal, cam_idx, uv, mask, reproj_thresh_px=5.0
+    )
+    np.testing.assert_allclose(np.asarray(out.points), np.asarray(ref.points),
+                               atol=1e-4)
+    assert float(jnp.abs(out.points - jnp.asarray(X)).max()) < 1e-2
