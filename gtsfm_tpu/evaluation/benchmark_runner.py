@@ -21,27 +21,94 @@ import os
 import time
 
 
-# (name, loader, dataset_path, extra overrides) — mirrors the reference's CI
-# matrix restricted to the datasets bundled with the reference checkout.
+# (name, loader, dataset_path, extra overrides, expectations) — mirrors the
+# reference's CI matrix restricted to the datasets bundled with the
+# reference checkout. `expectations` maps a dotted summary.json path to
+# ("<" | "<=" | ">" | ">=", value); any violation FAILS the entry (the
+# reference's CI compares against committed expected metrics the same way).
+# Floors were calibrated from the r5 matrix run and set with ~2x headroom.
 DEFAULT_MATRIX = [
-    ("door-12-sift", "olsson", "set1_lund_door", []),
-    ("door-12-nointrinsics-sift", "olsson", "set2_lund_door_nointrinsics", []),
+    ("door-12-sift", "olsson", "set1_lund_door", [], {
+        "ba_pose_error_metrics.rotation_angle_error_deg.max": ("<", 0.5),
+        "ba_pose_error_metrics.translation_error_distance.max": ("<", 0.05),
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 1500),
+        "two_view_metrics.pose_success_rate_5deg": (">=", 0.95),
+    }),
+    ("door-12-nointrinsics-sift", "olsson", "set2_lund_door_nointrinsics",
+     [], {
+        "ba_pose_error_metrics.rotation_angle_error_deg.max": ("<", 3.0),
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 1000),
+    }),
     ("door-12-orb", "olsson", "set1_lund_door",
-     ["frontend.feature_type=orb", "frontend.max_keypoints=4096"]),
+     ["frontend.feature_type=orb", "frontend.max_keypoints=4096"], {
+        "ba_pose_error_metrics.rotation_angle_error_deg.max": ("<", 3.0),
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 500),
+    }),
     ("hilti-rig-sift", "hilti", "hilti_exp4_small",
-     ["retriever.regime=sequential_hilti"]),
-    ("mobilebrick-sift", "mobilebrick", "mobilebrick", []),
+     ["retriever.regime=sequential_hilti"], {
+        "ba_pose_error_metrics.rotation_angle_error_deg.max": ("<", 3.0),
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 200),
+    }),
+    ("mobilebrick-sift", "mobilebrick", "mobilebrick", [], {
+        "ba_pose_error_metrics.rotation_angle_error_deg.max": ("<", 5.0),
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 500),
+    }),
+    # IMB PhotoTourism Reichstag crop (reference yfcc_imb_loader.py): real
+    # internet photos with COLMAP-derived GT poses in the calibration h5s.
+    ("imb-reichstag-sift", "yfcc", "imb_reichstag",
+     ["retriever.regime=exhaustive"], {
+        "ba_pose_error_metrics.rotation_angle_error_deg.max": ("<", 5.0),
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 300),
+    }),
     # 4-frame Vesta opnav fixture: ~5 deg FOV (f=10715 px) makes the global
-    # geometry near-degenerate (bas-relief); tracked for regression, not for
-    # absolute pose accuracy (the reference asserts none on it either).
-    ("astrovision-vesta-sift", "astrovision", "astrovision/test_2011212_opnav_022", []),
+    # geometry near-degenerate (bas-relief); no absolute pose floor (the
+    # reference asserts none on it either), but track/inlier FLOORS so a
+    # front-end regression still fails the entry (VERDICT r4 item 8).
+    ("astrovision-vesta-sift", "astrovision",
+     "astrovision/test_2011212_opnav_022", [], {
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 100),
+        "two_view_metrics.num_verified_pairs": (">=", 3),
+    }),
     # 4 internet photos (1dsfm regime, reference one_d_sfm_loader.py): no GT;
     # intrinsics come from EXIF + the sensor-width DB; exercises the
-    # high-outlier unordered-pairs path (VERDICT r3 item 10). Tracked for
-    # regression (track/inlier counts + runtime), not pose accuracy.
+    # high-outlier unordered-pairs path (VERDICT r3 item 10). Track/inlier
+    # floors only.
     ("1dsfm-internet-sift", "onedsfm", "1dsfm",
-     ["retriever.regime=exhaustive"]),
+     ["retriever.regime=exhaustive"], {
+        "bundle_adjustment_metrics.number_tracks_filtered": (">=", 50),
+        "two_view_metrics.num_verified_pairs": (">=", 2),
+    }),
 ]
+
+_OPS = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _lookup(summary: dict, dotted: str):
+    cur = summary
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            raise KeyError(dotted)
+        cur = cur[part]
+    return cur
+
+
+def check_expectations(summary: dict, expectations: dict) -> list[str]:
+    """Returns a list of violation strings (empty = all floors hold)."""
+    bad = []
+    for path, (op, ref) in (expectations or {}).items():
+        try:
+            val = _lookup(summary, path)
+        except KeyError:
+            bad.append(f"{path}: MISSING from summary")
+            continue
+        if not _OPS[op](float(val), float(ref)):
+            bad.append(f"{path} = {float(val):.4g}, expected {op} {ref}")
+    return bad
 
 
 def run_benchmark(
@@ -55,7 +122,9 @@ def run_benchmark(
     from gtsfm_tpu.runner.__main__ import main as runner_main
 
     results = {}
-    for name, loader, rel_path, overrides in (matrix or DEFAULT_MATRIX):
+    for entry in (matrix or DEFAULT_MATRIX):
+        name, loader, rel_path, overrides = entry[:4]
+        expectations = entry[4] if len(entry) > 4 else {}
         dataset = os.path.join(data_root, rel_path)
         if not os.path.isdir(dataset):
             results[name] = f"skipped (missing {dataset})"
@@ -79,8 +148,14 @@ def run_benchmark(
             results[name].setdefault("benchmark_runner", {})[
                 "total_runtime_sec"
             ] = round(time.time() - t0, 1)
+            violations = check_expectations(results[name], expectations)
+            results[name]["benchmark_runner"]["expectation_violations"] = (
+                violations
+            )
             with open(summary_path, "w") as f:
                 json.dump(results[name], f, indent=2)
+            if violations:
+                results[name] = "FAILED floors: " + "; ".join(violations)
         except Exception as exc:  # keep the matrix going (CI semantics)
             results[name] = f"FAILED: {exc}"
     return results

@@ -528,10 +528,29 @@ class SceneOptimizer:
             return res, match_idx, stages
         return res, match_idx
 
+    @staticmethod
+    def _tv_probe(t_prev, label, tree):
+        """Opt-in two-view stage timing (GTSFM_TWOVIEW_TIMING=1): host-fetch
+        barrier + per-section log, for reconciling the two-view wall against
+        kernel rates (VERDICT r4 item 4). No-op (and no device sync —
+        dispatch stays async) when unset."""
+        if not os.environ.get("GTSFM_TWOVIEW_TIMING"):
+            return None
+        import time as _time
+
+        from gtsfm_tpu.common import timing as _timing
+
+        _timing.sync(tree)
+        now = _time.perf_counter()
+        if t_prev is not None and label:
+            logger.info("two-view timing: %-14s %7.3f s", label, now - t_prev)
+        return now
+
     def _run_two_view_chunk(self, feats, cals, pairs, precomputed=None,
                             return_stages: bool = False, dev_stacks=None):
         fe = self.config.frontend
         tv = self.config.two_view
+        t_p = self._tv_probe(None, "", None)
         if precomputed is not None:
             x1, x2, cm, idx = precomputed
         elif dev_stacks is not None:
@@ -574,6 +593,7 @@ class SceneOptimizer:
             else:
                 raise ValueError(f"unknown matcher_type {fe.matcher_type}")
             x1, x2, cm = matching.matches_to_correspondences(idx, mm, k1, k2)
+        t_p = self._tv_probe(t_p, "match+corr", (x1, x2, cm))
 
         if dev_stacks is not None:
             cal_a = dev_stacks["cal"][pa]
@@ -616,6 +636,7 @@ class SceneOptimizer:
                 min_inliers=tv.min_inliers,
                 min_inlier_ratio=tv.min_inlier_ratio,
             )
+        t_p = self._tv_probe(t_p, "ransac-verify", res)
 
         stages = {}
         if tv.degeneracy_check:
@@ -630,6 +651,7 @@ class SceneOptimizer:
                 sigma_px=float(tv.gric_sigma_px) / float(jnp.mean(f_mean)),
             )
             res = res._replace(success=res.success & g.prefer_fundamental)
+            t_p = self._tv_probe(t_p, "gric-gate", res)
             logger.info(
                 "GRIC degeneracy gate: %d/%d pairs kept",
                 int(jnp.sum(res.success)), len(pairs),
@@ -658,6 +680,7 @@ class SceneOptimizer:
             res = stages["POST_BA"]._replace(
                 success=res.success & (num_inl >= tv.min_inliers)
             )
+            t_p = self._tv_probe(t_p, "two-view-ba", res)
         stages["POST_ISP"] = res
         if return_stages:
             return res, idx, stages
