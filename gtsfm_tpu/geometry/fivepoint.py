@@ -71,9 +71,10 @@ _MONOMIALS = (
 )
 
 _GRID = 128  # theta intervals over the projective line
-_BISECT_ITERS = 12  # fine cell is already (pi/128)/64 ~ 4e-4 wide; 12 halvings
-# reach ~1e-7 and the Newton + GN (_polish_xyz) stages finish the job — 30
-# rounds measurably bound the whole solver (each is a sequential dependency).
+# (r4 ran a 12-round sequential bisection/golden refinement here; r5
+# replaced it with one vectorized 64-point subdivision — see
+# _real_roots_deg10 — because the sequential dependency chain, not
+# arithmetic, bound the whole solver.)
 
 
 def _chol5_solve(G: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -236,7 +237,11 @@ def _gauss_jordan_10x20(M: jnp.ndarray):
         used = used + oh
         row_of_col.append(p)
     perm = jnp.stack(row_of_col, axis=-1)  # (..., 10) row index per column
-    M = jnp.take_along_axis(M, perm[..., None], axis=-2)
+    # One-hot permutation matmul instead of take_along_axis (the gather ran
+    # index-rate-bound at ~15 GB/s — 2.9 ms of the composite RANSAC kernel,
+    # r5 trace).
+    Pm = jax.nn.one_hot(perm, 10, dtype=M.dtype)  # (..., 10, 10)
+    M = jnp.einsum("...ij,...jk->...ik", Pm, M)
     return M[..., :, 10:], valid
 
 
@@ -344,7 +349,12 @@ def _real_roots_deg10(coeffs: jnp.ndarray):
     lm = (aq[..., 1:-1] <= aq[..., :-2]) & (aq[..., 1:-1] <= aq[..., 2:])
     lm = lm & (aq[..., 1:-1] < 3e-2 * qscale)
     lm = lm.astype(dtype) / (1.0 + aq[..., 1:-1])  # (..., G-1), in (0, 1]
-    _, cidx = jax.lax.top_k(jnp.concatenate([sc, lm], axis=-1), 10)
+    # approx_max_k: lax.top_k lowers to a full per-row sort on TPU
+    # (1.3 + 5.1 ms of the composite RANSAC kernel here and in the fine
+    # pass, r5 trace); the bucketed selector is exact at recall 1.0.
+    _, cidx = jax.lax.approx_max_k(
+        jnp.concatenate([sc, lm], axis=-1), 10, recall_target=1.0
+    )
     c_is_sc = cidx < _GRID
     h = np.pi / _GRID
     i_sc = cidx
@@ -363,52 +373,64 @@ def _real_roots_deg10(coeffs: jnp.ndarray):
     f_lm = (aqf[..., 1:-1] <= aqf[..., :-2]) & (aqf[..., 1:-1] <= aqf[..., 2:])
     f_lm = f_lm & (aqf[..., 1:-1] < 3e-2 * qscale[..., None])
     f_lm = f_lm.astype(dtype) / (1.0 + aqf[..., 1:-1])  # (..., 10, F-1)
-    fscores = jnp.concatenate(
-        [f_sc.reshape(f_sc.shape[:-2] + (10 * F,)),
-         f_lm.reshape(f_lm.shape[:-2] + (10 * (F - 1),))], axis=-1
-    )
-    top, fidx = jax.lax.top_k(fscores, 10)
+    # Per-bracket TOP-2 (max + masked re-max — plain reductions) feeding a
+    # 20-lane top-10. The r4 global top-10 over all 10*(2F-1) = 630 fine
+    # candidates lowered to a FULL per-row sort (3.8 ms of the composite
+    # RANSAC kernel, r5 trace). Two slots per coarse bracket preserve the
+    # near-double-root splitting this pass exists for (>2 real roots inside
+    # one coarse cell does not occur for these degree-10 polynomials).
+    scores_b = jnp.concatenate([f_sc, f_lm], axis=-1)  # (..., 10, 2F-1)
+    lane_f = jnp.arange(scores_b.shape[-1])
+    s1 = jnp.max(scores_b, axis=-1)
+    a1 = jnp.argmax(scores_b, axis=-1)
+    m2 = jnp.where(lane_f == a1[..., None], -jnp.inf, scores_b)
+    s2 = jnp.max(m2, axis=-1)
+    a2 = jnp.argmax(m2, axis=-1)
+    lead = scores_b.shape[:-2]
+    cand_s = jnp.stack([s1, s2], -1).reshape(lead + (20,))
+    cand_l = jnp.stack([a1, a2], -1).reshape(lead + (20,))
+    top, sel = jax.lax.top_k(cand_s, 10)  # 20-lane sort — negligible
     found = top > 0.0
-    from_sc = fidx < 10 * F
+    selh = (sel[..., None] == jnp.arange(20)[None, :]).astype(dtype)
+    local = jnp.sum(selh * cand_l[..., None, :].astype(dtype), axis=-1)
+    local = local.astype(jnp.int32)
+    bsel = sel // 2
+    from_sc = local < F
     hf = (c_hi - c_lo) / F  # (..., 10) per-bracket fine step
-    # Decode bracket + subinterval for both kinds.
-    b_sc, s_sc = fidx // F, fidx % F
-    r_lm = fidx - 10 * F
-    b_lm, s_lm = r_lm // (F - 1), r_lm % (F - 1) + 1  # interior point index
-    bsel = jnp.where(from_sc, b_sc, b_lm)
-    lo0 = jnp.take_along_axis(c_lo, bsel, axis=-1)
-    hstep = jnp.take_along_axis(hf, bsel, axis=-1)
-    lo = jnp.where(from_sc, lo0 + s_sc * hstep, lo0 + (s_lm - 1) * hstep)
-    hi = jnp.where(from_sc, lo0 + (s_sc + 1) * hstep, lo0 + (s_lm + 1) * hstep)
+    # One-hot contraction instead of take_along_axis: the per-slot gathers
+    # ran at ~1 GB/s (index-rate-bound, 7.8 ms of the composite kernel, r5
+    # trace); a 10-lane compare-mask reduce fuses into one pass.
+    bh = (bsel[..., None] == jnp.arange(10)[None, :]).astype(dtype)
+    lo0 = jnp.sum(bh * c_lo[..., None, :], axis=-1)
+    hstep = jnp.sum(bh * hf[..., None, :], axis=-1)
+    # Local index decode: sign-change cell s (= local) spans
+    # [s, s+1]*hstep; an interior-minimum point j (local = F + j - 1)
+    # spans [(j-1), (j+1)]*hstep around the grid point.
+    lo = jnp.where(from_sc, lo0 + local * hstep, lo0 + (local - F) * hstep)
+    hi = jnp.where(from_sc, lo0 + (local + 1) * hstep,
+                   lo0 + (local - F + 2) * hstep)
 
-    # --- Refinement: bisection (sign-change) and golden section (minimum),
-    # run jointly under one fori_loop (keeps the compiled program small).
-    gr = 0.5 * (np.sqrt(5.0) - 1.0)
-
-    def refine_body(_, st):
-        b_lo, b_hi, q_lo, g_lo, g_hi, x1, x2, f1, f2 = st
-        mid = 0.5 * (b_lo + b_hi)
-        q_mid = qeval(mid)
-        same = (q_mid * q_lo) > 0.0
-        b_lo = jnp.where(same, mid, b_lo)
-        q_lo = jnp.where(same, q_mid, q_lo)
-        b_hi = jnp.where(same, b_hi, mid)
-        shrink_right = f1 < f2  # keep [g_lo, x2]
-        g_hi = jnp.where(shrink_right, x2, g_hi)
-        g_lo = jnp.where(shrink_right, g_lo, x1)
-        x1 = g_hi - gr * (g_hi - g_lo)
-        x2 = g_lo + gr * (g_hi - g_lo)
-        f1 = qeval(x1) ** 2
-        f2 = qeval(x2) ** 2
-        return (b_lo, b_hi, q_lo, g_lo, g_hi, x1, x2, f1, f2)
-
-    x1_0 = hi - gr * (hi - lo)
-    x2_0 = lo + gr * (hi - lo)
-    state = (lo, hi, qeval(lo), lo, hi, x1_0, x2_0,
-             qeval(x1_0) ** 2, qeval(x2_0) ** 2)
-    state = jax.lax.fori_loop(0, _BISECT_ITERS, refine_body, state)
-    b_lo, b_hi, _, g_lo, g_hi, _, _, _, _ = state
-    t_root = jnp.where(from_sc, 0.5 * (b_lo + b_hi), 0.5 * (g_lo + g_hi))
+    # --- Refinement: ONE vectorized 64-point subdivision of each candidate
+    # cell localizes the root to hstep/64 ~ 1.2e-5 rad in a single kernel.
+    # (r4 ran 12 sequential joint bisection/golden rounds here — each round
+    # a full dependency-chained VPU pass; the chain, not bandwidth, bound
+    # the whole 5-point solve at 23 of 85 ms. The Newton polish below plus
+    # the _polish_xyz GN stage recover the same accuracy from the coarser
+    # bracket — verified by the unchanged eps-sweep success table.)
+    F2 = 64
+    offs2 = jnp.linspace(0.0, 1.0, F2 + 1).astype(dtype)
+    t2 = lo[..., None] + (hi - lo)[..., None] * offs2  # (..., 10, F2+1)
+    q2 = _eval_homogeneous(cn[..., None, :], jnp.sin(t2), jnp.cos(t2))
+    aq2 = jnp.abs(q2)
+    sc2 = (q2[..., :-1] * q2[..., 1:]) < 0.0  # (..., 10, F2)
+    any_sc = jnp.any(sc2, axis=-1)
+    i_sc2 = jnp.argmax(sc2, axis=-1)  # first sign-change cell
+    i_mn = jnp.argmin(aq2, axis=-1)  # |q| minimum grid point
+    h2 = (hi - lo) / F2
+    t_sc = lo + (i_sc2.astype(dtype) + 0.5) * h2
+    t_mn = lo + i_mn.astype(dtype) * h2
+    use_sc = from_sc & any_sc
+    t_root = jnp.where(use_sc, t_sc, t_mn)
 
     # --- Guarded Newton polish (quadratic convergence at simple roots pulls
     # f32 results to the noise floor; steps that grow |q| are rejected).
@@ -553,7 +575,10 @@ def essential_from_five_point(x1: jnp.ndarray, x2: jnp.ndarray):
     )  # (..., 10, 3, 3)
     wmag = jnp.abs(crosses[..., 2])
     pick = jnp.argmax(wmag, axis=-1)  # (..., 10)
-    v = jnp.take_along_axis(crosses, pick[..., None, None], axis=-2)[..., 0, :]
+    # One-hot select over the 3 cross candidates (take_along_axis gathers
+    # are index-rate-bound on TPU — 2.4 ms here in the r5 composite trace).
+    ph = (pick[..., None] == jnp.arange(3)[None, :]).astype(crosses.dtype)
+    v = jnp.sum(ph[..., :, None] * crosses, axis=-2)
     w = v[..., 2]
     w_safe = jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
     x = v[..., 0] / w_safe

@@ -45,7 +45,8 @@ class TriangulationResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "reproj_thresh_px", "min_tri_angle_deg", "use_ransac", "max_hypotheses"
+        "reproj_thresh_px", "min_tri_angle_deg", "use_ransac",
+        "max_hypotheses", "track_chunk",
     ),
 )
 def triangulate_tracks_robust(
@@ -66,6 +67,55 @@ def triangulate_tracks_robust(
     seed: int | jnp.ndarray = 0,  # PRNG seed (or key) for the sampled
     # long-track hypothesis draw; default 0 keeps runs deterministic, callers
     # and tests can reseed to decorrelate hypothesis samples.
+    track_chunk: int = 8192,  # tracks per sequential lax.map slab: the
+    # one-shot hypothesis tensors scale T x C(L,2) x L and OOMed the chip at
+    # the 1024-image scale (136k tracks x 66 hyps x L=12 -> an 18.4 GB
+    # buffer, r5); chunking bounds peak HBM at any scene size with
+    # identical results.
+) -> TriangulationResult:
+    T, L = cam_idx.shape
+    if T > track_chunk:
+        pad = (-T) % track_chunk
+        nc = (T + pad) // track_chunk
+
+        def padt(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        if isinstance(seed, jnp.ndarray) and (
+            seed.dtype == jnp.uint32
+            or jnp.issubdtype(seed.dtype, jax.dtypes.prng_key)
+        ):
+            key = seed
+        else:
+            key = jax.random.PRNGKey(int(seed))
+        keys = jax.random.split(key, nc)
+
+        def body(args):
+            ci_, uv_, m_, k_ = args
+            return _triangulate_chunk(
+                wRi, wti, cal, ci_, uv_, m_, reproj_thresh_px,
+                min_tri_angle_deg, use_ransac, max_hypotheses, k_,
+            )
+
+        res = jax.lax.map(
+            body,
+            (padt(cam_idx).reshape(nc, track_chunk, L),
+             padt(uv).reshape(nc, track_chunk, L, 2),
+             padt(mask).reshape(nc, track_chunk, L),
+             keys),
+        )
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nc * track_chunk,) + a.shape[2:])[:T], res
+        )
+    return _triangulate_chunk(
+        wRi, wti, cal, cam_idx, uv, mask, reproj_thresh_px,
+        min_tri_angle_deg, use_ransac, max_hypotheses, seed,
+    )
+
+
+def _triangulate_chunk(
+    wRi, wti, cal, cam_idx, uv, mask, reproj_thresh_px,
+    min_tri_angle_deg, use_ransac, max_hypotheses, seed,
 ) -> TriangulationResult:
     T, L = cam_idx.shape
     K = jax.vmap(cameras.K_from_bundler)(cal)

@@ -92,3 +92,28 @@ def test_sampled_hypotheses_long_tracks(rng):
     assert np.all(codes == da.TriangulationExitCode.SUCCESS)
     assert np.asarray(res.inlier_mask)[:, 3].mean() < 0.1
     np.testing.assert_allclose(np.asarray(res.points), X, atol=0.05)
+
+
+def test_triangulation_track_chunking_equivalence(rng):
+    """track_chunk slabs must reproduce the one-shot result exactly — the
+    chunking exists because the one-shot hypothesis tensor OOMed at the
+    1024-image scale (r5)."""
+    from gtsfm_tpu.geometry import cameras
+
+    n_cams, T, L = 6, 40, 4
+    cal = np.tile(np.asarray([500.0, 0, 0, 320.0, 240.0], np.float32), (n_cams, 1))
+    wRi = np.tile(np.eye(3, dtype=np.float32), (n_cams, 1, 1))
+    wti = np.stack([np.asarray([2.0 * i, 0, -8], np.float32) for i in range(n_cams)])
+    X = rng.uniform(-2, 2, size=(T, 3)).astype(np.float32)
+    cam_idx = jnp.asarray(rng.integers(0, n_cams, size=(T, L)), jnp.int32)
+    uv, _ = cameras.project_bundler(
+        jnp.asarray(wRi)[cam_idx], jnp.asarray(wti)[cam_idx],
+        jnp.asarray(cal)[cam_idx], jnp.asarray(X)[:, None, :],
+    )
+    mask = jnp.ones((T, L))
+    args = (jnp.asarray(wRi), jnp.asarray(wti), jnp.asarray(cal),
+            cam_idx, uv, mask)
+    one = da.triangulate_tracks_robust(*args, track_chunk=4096)
+    chunked = da.triangulate_tracks_robust(*args, track_chunk=16)
+    for a, b in zip(one, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
