@@ -1892,11 +1892,7 @@ def run_ba_with_filtering(
     stats = []
     for k, thresh in enumerate(reproj_thresholds_px):
         t_stage = _time.perf_counter()
-        # Mixed precision across stages: bf16 coupling for the bulk stages,
-        # full f32 for the FINAL stage so converged accuracy is unaffected.
         stage_cfg = cfg
-        if k == len(reproj_thresholds_px) - 1 and cfg.schur_bf16:
-            stage_cfg = cfg._replace(schur_bf16=False)
         # Auto-detect camera-band structure (recomputed per stage — filtering
         # can only shrink spans).
         band_plan = None
@@ -1904,6 +1900,28 @@ def run_ba_with_filtering(
             statics, band_plan = auto_band(scene)
             if statics is not None:
                 stage_cfg = stage_cfg._replace(band=statics)
+        # Mixed precision across stages: bf16 coupling for the bulk stages,
+        # full f32 for the FINAL stage so converged accuracy is unaffected —
+        # UNLESS the f32 coupling would blow HBM (the 1024-image pipeline's
+        # final stage wanted 21.5 GB of 15.75 at C=64 / 137k tracks, r5):
+        # then the last stage stays bf16 (the LM accept/reject still guards
+        # every step; only the coupling tensor G loses precision).
+        if k == len(reproj_thresholds_px) - 1 and cfg.schur_bf16:
+            f32_fits = True
+            if stage_cfg.band is not None:
+                C_b, _, T2_b, _, _ = stage_cfg.band
+                D_b = _cam_dim(cfg)
+                # ~3 coupling-sized f32 tensors live at once (G, C, build).
+                f32_fits = 3 * T2_b * 3 * (2 * C_b * D_b) * 4 < 2.5e9
+            if f32_fits:
+                stage_cfg = stage_cfg._replace(schur_bf16=False)
+        import logging as _logging
+
+        _logging.getLogger("gtsfm_tpu").info(
+            "BA stage %d: bucket_l=%s band=%s bf16=%s", k, stage_cfg.bucket_l,
+            None if stage_cfg.band is None else stage_cfg.band,
+            stage_cfg.schur_bf16,
+        )
         t_prep = _time.perf_counter()
         result = lm_optimize(scene, stage_cfg, priors=priors, band_plan=band_plan)
         iters = int(result.iterations)  # host fetch = device-sync barrier

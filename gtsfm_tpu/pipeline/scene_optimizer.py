@@ -1118,12 +1118,24 @@ class SceneOptimizer:
 
         # Global BA (+ rig/lidar relative-pose priors if the loader has them,
         # reference rig_bundle_adjustment.py).
+        bucket_l = ba.auto_bucket_l(sc)
+        if bucket_l > 64:
+            # A handful of DSF-chained mega-tracks can push the max track
+            # length into the hundreds at large scales; the bucketed layouts
+            # unroll a per-slot loop, so an unbounded L explodes the compiled
+            # program. Cap at 64 slots (the tail measurements of longer
+            # tracks are dropped from BA — a vanishing fraction of the
+            # problem; the reference's COLMAP exports cap track elements the
+            # same way in practice).
+            logger.info("capping BA bucket_l %d -> 64", bucket_l)
+            bucket_l = 64
+        logger.info("BA bucket_l=%d", bucket_l)
         ba_cfg = ba.BAConfig(
             max_iterations=cfg.multi_view.ba_max_iterations,
             optimize_calibration=cfg.multi_view.optimize_calibration,
             # Scatter-free bucketed Schur path (filtering between stages only
             # shrinks tracks, so the initial max stays valid).
-            bucket_l=ba.auto_bucket_l(sc),
+            bucket_l=bucket_l,
         )
         ba_priors = None
         if hasattr(loader, "get_relative_pose_priors"):
