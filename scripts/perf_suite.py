@@ -130,6 +130,25 @@ def bench_rotation_averaging(n=512, lookahead=10):
             "value": round(dt, 2), "unit": "s (warm)"}
 
 
+def bench_rotation_averaging_sparse(n=10240, lookahead=10):
+    """Matrix-free edge path at the 10k-image envelope (VERDICT r4 weak #5)."""
+    from gtsfm_tpu.multiview import rotation_averaging as rot
+
+    R = _circle_rotations(n)
+    i = np.arange(n).repeat(lookahead)
+    j = i + np.tile(np.arange(1, lookahead + 1), n)
+    m = j < n
+    edges = np.stack([i[m], j[m]], -1)
+    i2Ri1 = np.einsum("eji,ejk->eik", R[edges[:, 1]], R[edges[:, 0]])
+    rot.run_rotation_averaging(n, edges, i2Ri1, method="sparse")  # warmup
+    t0 = time.perf_counter()
+    wRi, info = rot.run_rotation_averaging(n, edges, i2Ri1, method="sparse")
+    dt = time.perf_counter() - t0
+    assert info["method"] == "sparse"
+    return {"name": f"Rotation averaging SPARSE (CG chordal + edge staircase), {n} cams / {len(edges)} edges",
+            "value": round(dt, 2), "unit": "s (warm)"}
+
+
 def bench_translation_averaging(n=512, lookahead=10):
     from gtsfm_tpu.multiview import translation_averaging as ta
 
@@ -296,6 +315,7 @@ ALL = [
     bench_ba_dense_banded,
     bench_ba_banded_pcg,
     bench_rotation_averaging,
+    bench_rotation_averaging_sparse,
     bench_translation_averaging,
     bench_translation_averaging_1024,
     bench_translation_averaging_2048,
