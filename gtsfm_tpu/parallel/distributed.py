@@ -347,14 +347,11 @@ def _tracksharded_apply(mesh, sc_sorted, bucket, lam, cfg, pb):
          jnp.asarray([lam], sc_sorted.meas_uv.dtype), pb),
     )
     dc, dp = multihost.gather_outputs(mesh, (P(), P(axis)), step(*args))
-    if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
-        dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
-    delta_fn = (ba._apply_camera_delta_fisheye if sc_sorted.cal.shape[-1] == 9
-                else ba._apply_camera_delta)
-    R, t, cal = delta_fn(sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, dc)
-    return dataclasses.replace(
-        sc_sorted, wRi=R, wti=t, cal=cal, points=sc_sorted.points + dp
+    R, t, cal, points = _banded_apply_update(
+        sc_sorted.wRi, sc_sorted.wti, sc_sorted.cal, sc_sorted.points, dc, dp,
+        T2=dp.shape[0], fisheye=sc_sorted.cal.shape[-1] == 9,
     )
+    return dataclasses.replace(sc_sorted, wRi=R, wti=t, cal=cal, points=points)
 
 
 def distributed_ba_gn_step_tracksharded(
@@ -581,6 +578,32 @@ def _banded_core_factory(mesh: Mesh, cfg: ba.BAConfig, band: tuple, has_pb: bool
     return step
 
 
+@functools.partial(jax.jit, static_argnames=("pad_rows",))
+def _banded_pad_tracks(points, track_mask, pad_rows: int):
+    pts_all = jnp.concatenate(
+        [points, jnp.zeros((pad_rows, 3), points.dtype)], 0)
+    tmask_all = jnp.concatenate(
+        [track_mask, jnp.zeros((pad_rows,), track_mask.dtype)], 0)
+    return pts_all, tmask_all
+
+
+@functools.partial(jax.jit, static_argnames=("T2", "fisheye"))
+def _banded_apply_update(wRi, wti, cal, points, dc, dp, T2: int, fisheye: bool):
+    """Fused post-step state update (delta application + point add).
+
+    One jitted program instead of a raft of eager primitives: the eager path
+    compiled a fresh tiny XLA:CPU executable per op per shape, which is both
+    per-iteration dispatch overhead through the TPU tunnel and a crash
+    surface for this environment's flaky LLVM JIT (tests/conftest.py note —
+    the abort signature was an eager so3_exp compile inside this tail)."""
+    dp = dp[:T2]
+    if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
+        dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
+    delta_fn = ba._apply_camera_delta_fisheye if fisheye else ba._apply_camera_delta
+    R, t, cal = delta_fn(wRi, wti, cal, dc)
+    return R, t, cal, points + dp
+
+
 def _banded_apply(mesh, sc2, bucket, pad_rows, band, lam, cfg, pb):
     """One banded GN step on the REGROUPED scene layout (prologue already
     applied); returns the updated regrouped scene."""
@@ -590,10 +613,7 @@ def _banded_apply(mesh, sc2, bucket, pad_rows, band, lam, cfg, pb):
     pts_all = sc2.points
     tmask_all = sc2.track_mask
     if pad_rows:
-        pts_all = jnp.concatenate(
-            [pts_all, jnp.zeros((pad_rows, 3), pts_all.dtype)], 0)
-        tmask_all = jnp.concatenate(
-            [tmask_all, jnp.zeros((pad_rows,), tmask_all.dtype)], 0)
+        pts_all, tmask_all = _banded_pad_tracks(pts_all, tmask_all, pad_rows)
     bucket_spec = ba._BandBucket(
         cam_b=P(axis), uv_b=P(axis), bmask=P(axis), onehot_loc=P(axis),
         track_window=P(axis), block_window=P(axis),
@@ -606,13 +626,11 @@ def _banded_apply(mesh, sc2, bucket, pad_rows, band, lam, cfg, pb):
          jnp.asarray([lam], sc2.meas_uv.dtype), pb),
     )
     dc, dp = multihost.gather_outputs(mesh, (P(), P(axis)), step(*args))
-    dp = dp[:T2]
-    if dc.shape[-1] < ba.CAM_DIM:  # frozen calibration: 6-dim camera blocks
-        dc = jnp.pad(dc, ((0, 0), (0, ba.CAM_DIM - dc.shape[-1])))
-    delta_fn = (ba._apply_camera_delta_fisheye if sc2.cal.shape[-1] == 9
-                else ba._apply_camera_delta)
-    R, t, cal = delta_fn(sc2.wRi, sc2.wti, sc2.cal, dc)
-    return dataclasses.replace(sc2, wRi=R, wti=t, cal=cal, points=sc2.points + dp)
+    R, t, cal, points = _banded_apply_update(
+        sc2.wRi, sc2.wti, sc2.cal, sc2.points, dc, dp,
+        T2=T2, fisheye=sc2.cal.shape[-1] == 9,
+    )
+    return dataclasses.replace(sc2, wRi=R, wti=t, cal=cal, points=points)
 
 
 def _banded_ungroup(sc2: SceneData, band_plan: "ba.BandPlan") -> SceneData:
